@@ -3,42 +3,178 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB (row-count + schema + order-insensitive value-hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+No ``ray.init`` / ``ray.shutdown`` here — the driver owns the session.
+
+The engine's canonical input (the BASELINE input_hint `sequences` table:
+``doc_id:string, tokens:list<int32>, n_tok:int32, source:string``) is
+synthesized deterministically from ``lineitem`` by pure integer
+arithmetic (see ``logpipe_ray/sources/sequences.py``), so every scalar
+observable — including a token checksum — is reproducible in DuckDB SQL
+(``SEQ_CTE`` below mirrors the Python derivation exactly).
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------------------
+# Shared oracle CTE: mirrors logpipe_ray/sources/sequences.py exactly.
+# Tables (lineitem, events, ...) are pre-registered DuckDB views.
+# ---------------------------------------------------------------------------
+SEQ_CTE = """
+WITH seqs AS (
+  SELECT ((l_orderkey*10 + l_linenumber)*20000 + l_partkey)*2000 + l_suppkey AS seq
+  FROM lineitem
+), seq_base AS (
+  SELECT seq, seq % 1048573 AS m,
+    CASE WHEN seq % 2 = 0 THEN 0 ELSE 1 + (seq//2) % 15 END AS s
+  FROM seqs
+), seq_named AS (
+  SELECT seq, m, s,
+    1 + (m * 2654435761) % 512 AS n_tok,
+    CASE s % 4 WHEN 0 THEN 'app_web' WHEN 1 THEN 'db_core'
+               WHEN 2 THEN 'sys_monitor' ELSE 'app_api' END AS grp
+  FROM seq_base
+), sequences AS (
+  SELECT
+    grp || '_' || lpad(CAST(s AS VARCHAR), 2, '0') || '.log'
+      || '-' || lpad(CAST(seq AS VARCHAR), 14, '0') AS doc_id,
+    grp || '_' || lpad(CAST(s AS VARCHAR), 2, '0') || '.log' AS source,
+    n_tok, seq, m, s, grp,
+    CAST(list_aggregate(
+      list_transform(range(0, CAST(n_tok AS INT)),
+                     i -> (m*1000003 + i*10007) % 50257), 'sum') AS BIGINT)
+      AS tokens_sum,
+    CASE WHEN s >= 14 THEN 'sink-default' ELSE
+      CASE grp WHEN 'app_web' THEN 'sink-web' WHEN 'db_core' THEN 'sink-db'
+               WHEN 'sys_monitor' THEN 'sink-sys' ELSE 'sink-api' END
+    END AS sink,
+    CASE WHEN s >= 14 THEN 'unknown' ELSE grp END AS system,
+    CASE WHEN s >= 14 THEN 'unknown' ELSE 'srv-' || CAST(s % 4 AS VARCHAR) END
+      AS server
+  FROM seq_named
+)
+"""
+
+
+def _i64(batch: pa.Table, cols: list[str]) -> pa.Table:
+    for c in cols:
+        batch = batch.set_column(
+            batch.schema.get_field_index(c), c, pc.cast(batch[c], pa.int64())
+        )
+    return batch
+
+
+# ---------------------------------------------------------------------------
+# Query implementations (each takes sf_dir, returns Dataset/DataFrame/Table)
+# ---------------------------------------------------------------------------
+
+
+def _q_seq_synthesize(sf_dir: str):
+    """Deterministic sequences synthesis + token checksum."""
+    from logpipe_ray.functions.tokens import add_tokens_sum
+    from logpipe_ray.sources.sequences import synthesize_sequences
+
+    ds = synthesize_sequences(sf_dir)
+    ds = ds.map_batches(add_tokens_sum, batch_format="pyarrow")
+    ds = ds.map_batches(
+        lambda b: _i64(b.select(["doc_id", "source", "n_tok", "tokens_sum"]), ["n_tok"]),
+        batch_format="pyarrow",
+    )
+    return ds
+
+
+def _q_seq_parse(sf_dir: str):
+    """Parse stage: key-cut route_key from the source filename."""
+    from logpipe_ray.sources.sequences import synthesize_sequences
+    from logpipe_ray.stages.parse import cut_route_key
+
+    ds = synthesize_sequences(sf_dir)
+    ds = ds.map_batches(cut_route_key, batch_format="pyarrow")
+    return ds.map_batches(
+        lambda b: b.select(["doc_id", "source", "route_key"]), batch_format="pyarrow"
+    )
+
+
+def _q_seq_enrich(sf_dir: str):
+    """Broadcast-lookup enrich: sink/system/server incl. default route."""
+    from logpipe_ray.pipelines.flagship import build_enriched
+
+    ds = build_enriched(sf_dir)
+    return ds.map_batches(
+        lambda b: b.select(["doc_id", "source", "sink", "system", "server"]),
+        batch_format="pyarrow",
+    )
+
+
+def _q_seq_counters(sf_dir: str):
+    """Flagship aggregate: per-(source, sink) forwarded-record counters."""
+    from logpipe_ray.pipelines.flagship import build_enriched
+    from logpipe_ray.state.counters import aggregate_counters
+
+    return aggregate_counters(build_enriched(sf_dir))
+
+
+def _q_seq_routed(sf_dir: str):
+    """Full flagship incl. per-sink partitioned write; reads back the routed
+    output and returns per-row (doc_id, sink, n_tok, tokens_sum) — proves
+    routed-row equality and token pass-through across the write."""
+    from logpipe_ray.functions.tokens import add_tokens_sum
+    from logpipe_ray.pipelines.flagship import build_enriched, read_routed
+
+    out = tempfile.mkdtemp(prefix="lpr_routed_")
+    build_enriched(sf_dir).write_parquet(out, partition_cols=["sink"])
+    ds = read_routed(out)
+    ds = ds.map_batches(add_tokens_sum, batch_format="pyarrow")
+    return ds.map_batches(
+        lambda b: _i64(
+            b.select(["doc_id", "sink", "n_tok", "tokens_sum"]), ["n_tok"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contract functions
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001; returns the counters."""
+    from logpipe_ray.pipelines.flagship import run_flagship
+
+    out = tempfile.mkdtemp(prefix="lpr_entry_")
+    return run_flagship("/root/testdata/sf0.001", out)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "seq_synthesize": _q_seq_synthesize,
+        "seq_parse": _q_seq_parse,
+        "seq_enrich": _q_seq_enrich,
+        "seq_counters": _q_seq_counters,
+        "seq_routed": _q_seq_routed,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "seq_synthesize": SEQ_CTE
+        + "SELECT doc_id, source, n_tok, tokens_sum FROM sequences",
+        "seq_parse": SEQ_CTE + "SELECT doc_id, source, grp AS route_key FROM sequences",
+        "seq_enrich": SEQ_CTE
+        + "SELECT doc_id, source, sink, system, server FROM sequences",
+        "seq_counters": SEQ_CTE
+        + """SELECT source, sink, count(*) AS n_rows,
+               CAST(sum(n_tok) AS BIGINT) AS sum_n_tok
+             FROM sequences GROUP BY source, sink""",
+        "seq_routed": SEQ_CTE
+        + "SELECT doc_id, sink, n_tok, tokens_sum FROM sequences",
+    }

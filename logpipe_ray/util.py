@@ -1,0 +1,33 @@
+"""Small cluster/runtime helpers."""
+
+from __future__ import annotations
+
+import time
+
+import ray
+
+
+def cluster_cpus(default: int = 8, retries: int = 20) -> int:
+    """Total cluster CPUs, retrying briefly: right after ``ray.init`` the
+    GCS may not have registered resources yet and ``cluster_resources()``
+    returns ``{}`` — sizing an actor pool off a guessed default can then
+    overcommit CPUs and deadlock the streaming executor (pending actors
+    vs running read/write tasks)."""
+    for _ in range(retries):
+        cpus = ray.cluster_resources().get("CPU")
+        if cpus:
+            return int(cpus)
+        time.sleep(0.05)
+    return default
+
+
+def pool_size(
+    *, per_actor_cpus: float = 1.0, reserve_cpus: int = 2, cap: int | None = None
+) -> int:
+    """Actor-pool size that leaves ``reserve_cpus`` for task stages
+    (read/write) so no stage starves: pool × per_actor ≤ CPUs − reserve."""
+    ncpu = cluster_cpus()
+    n = max(1, int((ncpu - reserve_cpus) / per_actor_cpus))
+    if cap is not None:
+        n = min(n, cap)
+    return n
