@@ -123,22 +123,27 @@ def _q_seq_counters(sf_dir: str):
 
 
 def _q_seq_routed(sf_dir: str):
-    """Full flagship incl. per-sink partitioned write; reads back the routed
-    output and returns per-row (doc_id, sink, n_tok, tokens_sum) — proves
-    routed-row equality and token pass-through across the write."""
+    """Full flagship incl. per-sink partitioned write (the production
+    single-pass writer); reads back the routed output and returns per-row
+    (doc_id, sink, n_tok, tokens_sum) — proves routed-row equality and
+    token pass-through across the write."""
     from logpipe_ray.functions.tokens import add_tokens_sum
-    from logpipe_ray.pipelines.flagship import build_enriched, read_routed
+    from logpipe_ray.pipelines.flagship import read_routed, run_flagship
 
     out = tempfile.mkdtemp(prefix="lpr_routed_")
-    build_enriched(sf_dir).write_parquet(out, partition_cols=["sink"])
+    run_flagship(sf_dir, out).materialize()  # small counters result
     ds = read_routed(out)
     ds = ds.map_batches(add_tokens_sum, batch_format="pyarrow")
-    return ds.map_batches(
-        lambda b: _i64(
-            b.select(["doc_id", "sink", "n_tok", "tokens_sum"]), ["n_tok"]
-        ),
-        batch_format="pyarrow",
-    )
+
+    def final(b: pa.Table) -> pa.Table:
+        b = b.set_column(
+            b.schema.get_field_index("sink"),
+            "sink",
+            pc.cast(b["sink"], pa.string()),  # hive partition col is dictionary
+        )
+        return _i64(b.select(["doc_id", "sink", "n_tok", "tokens_sum"]), ["n_tok"])
+
+    return ds.map_batches(final, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -24,13 +24,72 @@ from __future__ import annotations
 
 import ray
 import ray.data
+from ray.data.aggregate import Sum
 
 from logpipe_ray.routes import default_route_table
 from logpipe_ray.sources.sequences import synthesize_sequences
-from logpipe_ray.stages.enrich import Enricher
+from logpipe_ray.stages.enrich import BroadcastEnricher, Enricher
 from logpipe_ray.stages.parse import cut_route_key
 from logpipe_ray.state.counters import aggregate_counters
-from logpipe_ray.util import pool_size
+
+
+def enrich_pipeline(
+    ds: ray.data.Dataset,
+    *,
+    routes: dict | None = None,
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 8192,
+) -> ray.data.Dataset:
+    """sequences Dataset → parse(route_key) → enrich(sink, system, server).
+
+    All stages are *stateless task* transforms, so Ray Data fuses
+    read → parse → enrich (→ the downstream routed write) into one
+    single-pass operator — each block is touched once, no extra object
+    store round-trips. The enrich lookup uses a broadcast
+    ``ray.put``-once routes table resolved at most once per worker
+    process (:class:`BroadcastEnricher`). Measured 2.3× faster than
+    funneling blocks through a fixed actor pool for this light lookup
+    (BASELINE.md); the actor-pool variant (:class:`Enricher`,
+    ``concurrency=N``) remains the pattern for heavy-state stages.
+    """
+    if routes is None:
+        routes = default_route_table()
+    ds = ds.map_batches(cut_route_key, batch_format="pyarrow", batch_size=batch_size)
+    if concurrency is not None:
+        routes_ref = ray.put(routes)
+        return ds.map_batches(
+            Enricher,
+            fn_constructor_kwargs={"routes_ref": routes_ref},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=0.5,
+        )
+    routes_ref = ray.put(routes)
+    return ds.map_batches(
+        BroadcastEnricher(routes_ref),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
+def route_and_count(
+    enriched: ray.data.Dataset, out_dir: str, *, batch_size: int = 8192
+) -> ray.data.Dataset:
+    """Routed fan-out write + single-pass counters (see run_flagship)."""
+    from functools import partial
+
+    from logpipe_ray.stages.route import write_routed_batch
+
+    partials = enriched.map_batches(
+        partial(write_routed_batch, out_dir=out_dir),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    return partials.groupby(["source", "sink"]).aggregate(
+        Sum("n_rows", alias_name="n_rows"),
+        Sum("sum_n_tok", alias_name="sum_n_tok"),
+    )
 
 
 def build_enriched(
@@ -41,31 +100,10 @@ def build_enriched(
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 8192,
 ) -> ray.data.Dataset:
-    """sequences → parse(route_key) → enrich(sink, system, server).
-
-    Stage/resource layout (matters — wrong sizing deadlocks a small
-    cluster): synthesis + parse are *stateless tasks* (elastic, use every
-    free CPU — they carry the heavy vectorized token work), while the
-    enrich lookup is a small *actor pool* at ``num_cpus=0.5``. The
-    fractional CPU (a) keeps the pool from starving the read/write task
-    stages and (b) prevents operator fusion from dragging the heavy
-    parse work into the fixed-size pool. The lookup itself is
-    O(distinct sources) per batch — light.
-    """
-    if routes is None:
-        routes = default_route_table()
-    if concurrency is None:
-        concurrency = pool_size(per_actor_cpus=0.5, reserve_cpus=2, cap=8)
+    """Synthesize the sequences table from ``sf_dir`` and enrich it."""
     ds = synthesize_sequences(sf_dir, expand=expand, batch_size=batch_size)
-    ds = ds.map_batches(cut_route_key, batch_format="pyarrow", batch_size=batch_size)
-    routes_ref = ray.put(routes)
-    return ds.map_batches(
-        Enricher,
-        fn_constructor_kwargs={"routes_ref": routes_ref},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=0.5,
+    return enrich_pipeline(
+        ds, routes=routes, concurrency=concurrency, batch_size=batch_size
     )
 
 
@@ -74,22 +112,24 @@ def run_flagship(
     out_dir: str,
     *,
     expand: int = 1,
-    concurrency: int | tuple[int, int] = 4,
+    concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 8192,
 ) -> ray.data.Dataset:
     """Full pipeline incl. routed fan-out write; returns the counters Dataset.
 
-    Output layout: ``{out_dir}/sink=<sink>/...parquet`` — one directory
-    per sink (merge-by-filename analog, SURVEY.md §2.4 output-file), so a
-    consumer of one sink reads one directory, and a rerun can target
-    individual sinks.
+    Output layout: ``{out_dir}/sink=<sink>/part-*.parquet`` — one
+    directory per sink (merge-by-filename analog, SURVEY.md §2.4
+    output-file), so a consumer of one sink reads one directory.
+
+    Single pass: the routed write stage itself emits per-batch counter
+    partials, which a tiny groupby folds into the final per-(source,
+    sink) counters — data is written and counted in the same streaming
+    execution (commit-after-write semantics, src/output.c:280-302).
     """
     enriched = build_enriched(
         sf_dir, expand=expand, concurrency=concurrency, batch_size=batch_size
     )
-    enriched.write_parquet(out_dir, partition_cols=["sink"])
-    routed = read_routed(out_dir, columns=["source", "n_tok", "sink"])
-    return aggregate_counters(routed)
+    return route_and_count(enriched, out_dir, batch_size=batch_size)
 
 
 def read_routed(out_dir: str, *, columns: list[str] | None = None) -> ray.data.Dataset:

@@ -48,6 +48,50 @@ def enrich_batch(
     return batch
 
 
+_PROC_CACHE: dict[str, Mapping] = {}
+
+
+class BroadcastEnricher:
+    """Task-mode enrich: a picklable callable holding a broadcast ref.
+
+    Passed as an *instance* to ``map_batches`` → runs as stateless
+    tasks, so Ray Data fuses it with the surrounding parse/write task
+    stages into one single-pass operator — measured 2.3× faster than an
+    actor-pool hop for this light lookup (every block otherwise takes an
+    extra plasma round-trip through the pool; see BASELINE.md).
+
+    The routes table is broadcast once (``ray.put`` on the driver) and
+    resolved at most once per worker process (module-level cache) — the
+    small side is never re-shipped per batch. Use :class:`Enricher`
+    (actor pool) instead when per-worker state is genuinely heavy
+    (models, indexes) or must be isolated.
+    """
+
+    def __init__(
+        self,
+        routes_ref,
+        *,
+        source_col: str = "source",
+        default: Mapping[str, str] = DEFAULT_ROUTE,
+    ):
+        self.routes_ref = routes_ref
+        self.source_col = source_col
+        self.default = dict(default)
+
+    def _routes(self) -> Mapping[str, Mapping[str, str]]:
+        if isinstance(self.routes_ref, ray.ObjectRef):
+            key = self.routes_ref.hex()
+            if key not in _PROC_CACHE:
+                _PROC_CACHE[key] = ray.get(self.routes_ref)
+            return _PROC_CACHE[key]
+        return self.routes_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return enrich_batch(
+            batch, self._routes(), source_col=self.source_col, default=self.default
+        )
+
+
 class Enricher:
     """Actor-pool enrich stage for ``map_batches(Enricher, concurrency=N)``.
 
