@@ -60,6 +60,7 @@ def write_routed_batch(
     compression: str = "zstd",
     compression_level: int = 1,
     drop_cols: tuple[str, ...] | None = None,
+    file_tag: str | None = None,
 ) -> pa.Table:
     """Write one batch fanned out to ``{out_dir}/sink=<sink>/part-*.parquet``;
     return the batch's counter partials (source, sink, n_rows, sum_n_tok).
@@ -74,10 +75,15 @@ def write_routed_batch(
     for sink, sub in _sink_groups(batch, sink_col):
         sink_dir = os.path.join(out_dir, f"sink={sink}")
         os.makedirs(sink_dir, exist_ok=True)
-        ids = sub[id_col]
-        tag = hashlib.sha1(
-            f"{ids[0].as_py()}|{ids[-1].as_py()}|{sub.num_rows}".encode()
-        ).hexdigest()[:16]
+        if file_tag is not None:
+            # caller-supplied deterministic tag (e.g. the fragment id in
+            # the resumable runner) — one file per sink per fragment
+            tag = file_tag
+        else:
+            ids = sub[id_col]
+            tag = hashlib.sha1(
+                f"{ids[0].as_py()}|{ids[-1].as_py()}|{sub.num_rows}".encode()
+            ).hexdigest()[:16]
         data = sub.drop_columns(list(drop_cols)) if drop_cols else sub
         pq.write_table(
             data,
