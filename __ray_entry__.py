@@ -160,17 +160,23 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    return {
+    from logpipe_ray.pipelines.queries import QUERIES
+
+    out: dict[str, Callable[[str], Any]] = {
         "seq_synthesize": _q_seq_synthesize,
         "seq_parse": _q_seq_parse,
         "seq_enrich": _q_seq_enrich,
         "seq_counters": _q_seq_counters,
         "seq_routed": _q_seq_routed,
     }
+    out.update(QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    from logpipe_ray.pipelines.queries import ORACLES
+
+    out = {
         "seq_synthesize": SEQ_CTE
         + "SELECT doc_id, source, n_tok, tokens_sum FROM sequences",
         "seq_parse": SEQ_CTE + "SELECT doc_id, source, grp AS route_key FROM sequences",
@@ -183,3 +189,5 @@ def oracle_sql() -> dict[str, str]:
         "seq_routed": SEQ_CTE
         + "SELECT doc_id, sink, n_tok, tokens_sum FROM sequences",
     }
+    out.update(ORACLES)
+    return out

@@ -1,0 +1,145 @@
+"""Join strategies (SURVEY.md §2.5 "Lookup/enrich" + ray_guide patterns).
+
+The reference's only join is the degenerate broadcast lookup (config
+source→sink table); a complete data-processing engine needs the full
+set, each chosen by side sizes:
+
+- **broadcast join** (small side fits in memory): `ray.put` the small
+  Arrow table once, per-batch `pa.Table.join` inside ``map_batches`` —
+  no shuffle, the default for dimension tables.
+- **bucketed hash join** (both sides large): add ``bucket = key % B`` to
+  both sides, union with a side marker, ``groupby(bucket).map_groups``
+  joining the two sides inside each bucket — an explicit partitioned
+  hash join; B chosen so a bucket fits a worker's heap; salt hot keys.
+- **semi / anti join**: broadcast the key set, vectorized ``is_in``
+  filter inside ``map_batches`` — never a shuffle.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+_PROC_CACHE: dict[str, object] = {}
+
+
+def _resolve(ref):
+    if isinstance(ref, ray.ObjectRef):
+        key = ref.hex()
+        if key not in _PROC_CACHE:
+            _PROC_CACHE[key] = ray.get(ref)
+        return _PROC_CACHE[key]
+    return ref
+
+
+class BroadcastJoiner:
+    """Task-mode per-batch hash join against a broadcast small table."""
+
+    def __init__(
+        self,
+        small_ref,
+        *,
+        keys: str | list[str],
+        right_keys: str | list[str] | None = None,
+        join_type: str = "inner",
+    ):
+        self.small_ref = small_ref
+        self.keys = [keys] if isinstance(keys, str) else list(keys)
+        rk = right_keys if right_keys is not None else keys
+        self.right_keys = [rk] if isinstance(rk, str) else list(rk)
+        self.join_type = join_type
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        small: pa.Table = _resolve(self.small_ref)
+        return batch.join(
+            small,
+            keys=self.keys,
+            right_keys=self.right_keys,
+            join_type=self.join_type,
+        )
+
+
+def broadcast_join(
+    ds: ray.data.Dataset,
+    small: pa.Table,
+    *,
+    keys: str | list[str],
+    right_keys: str | list[str] | None = None,
+    join_type: str = "inner",
+    batch_size: int = 16384,
+) -> ray.data.Dataset:
+    ref = ray.put(small)
+    return ds.map_batches(
+        BroadcastJoiner(ref, keys=keys, right_keys=right_keys, join_type=join_type),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
+class BroadcastSemiFilter:
+    """Semi (keep matches) / anti (keep non-matches) via broadcast key set."""
+
+    def __init__(self, keys_ref, *, key_col: str, anti: bool = False):
+        self.keys_ref = keys_ref
+        self.key_col = key_col
+        self.anti = anti
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = _resolve(self.keys_ref)
+        mask = pc.is_in(batch[self.key_col], value_set=keys)
+        if self.anti:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
+
+
+def semi_join(
+    ds: ray.data.Dataset,
+    keys: pa.Array | pa.ChunkedArray,
+    *,
+    key_col: str,
+    anti: bool = False,
+    batch_size: int = 16384,
+) -> ray.data.Dataset:
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    ref = ray.put(keys)
+    return ds.map_batches(
+        BroadcastSemiFilter(ref, key_col=key_col, anti=anti),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: str | tuple[str, ...],
+    right_on: str | tuple[str, ...] | None = None,
+    join_type: str = "inner",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Large×large hash-partitioned join (both sides shuffle on the key).
+
+    Thin policy wrapper over ``Dataset.join``: use ONLY when both sides
+    are too big to broadcast — it is an all-to-all exchange of both
+    inputs. ``num_partitions`` bounds per-partition memory (each
+    partition joined independently); size it so a partition of the
+    larger side fits a worker's heap, and pre-salt hot keys if one key
+    dominates (see stages.route.add_salt).
+    """
+    on_t = (on,) if isinstance(on, str) else tuple(on)
+    r_t = (
+        None
+        if right_on is None
+        else ((right_on,) if isinstance(right_on, str) else tuple(right_on))
+    )
+    return left.join(
+        right,
+        join_type=join_type,
+        num_partitions=num_partitions,
+        on=on_t,
+        right_on=r_t,
+    )
