@@ -324,3 +324,342 @@ def sort_topk_orders(sf_dir: str):
         .sort(["total_cents", "o_orderkey"], descending=[True, False])
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis over documents
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_stats",
+    r"""SELECT doc_id,
+              CAST(length(text) AS BIGINT) AS n_chars,
+              CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+              CAST(length(regexp_extract_all(text, '[.!?,;:]')) AS BIGINT) AS n_punct,
+              CAST(length(regexp_extract_all(text, '\b(?:the|and|of|a|to|in|is)\b'))
+                   AS BIGINT) AS n_stop
+       FROM documents""",
+)
+def text_stats(sf_dir: str):
+    from logpipe_ray.stages.text_analysis import add_text_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: add_text_stats(b).select(
+            ["doc_id", "n_chars", "n_words", "n_punct", "n_stop"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+@query(
+    "token_count",
+    r"""SELECT doc_id,
+              CAST(length(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+                AS n_tokens
+       FROM documents""",
+)
+def token_count(sf_dir: str):
+    from logpipe_ray.stages.text_analysis import add_token_count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: add_token_count(b).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow",
+    )
+
+
+@query("lang_id", None)  # heuristic — rows-only driver check; accuracy in tests
+def lang_id(sf_dir: str):
+    from logpipe_ray.stages.text_analysis import LangId
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return ds.map_batches(
+        LangId, batch_format="pyarrow", concurrency=2, num_cpus=0.5
+    ).map_batches(
+        lambda b: b.select(["doc_id", "lang", "lang_pred"]), batch_format="pyarrow"
+    )
+
+
+@query("doc_fingerprint", None)  # bigint rolling hash — verified vs reimpl in tests
+def doc_fingerprint(sf_dir: str):
+    from logpipe_ray.stages.text_analysis import fingerprint_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: fingerprint_batch(b).select(["doc_id", "fingerprint"]),
+        batch_format="pyarrow",
+    )
+
+
+@query("quality_score", None)  # float composite — component ints oracled above
+def quality_score(sf_dir: str):
+    from logpipe_ray.stages.text_analysis import quality_score_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: quality_score_batch(b).select(["doc_id", "quality_score"]),
+        batch_format="pyarrow",
+    )
+
+
+@query(
+    "filter_grep",
+    "SELECT doc_id FROM documents WHERE text LIKE '%window%'",
+)
+def filter_grep(sf_dir: str):
+    from logpipe_ray.stages.parse import grep_filter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: grep_filter(b, text_col="text", pattern="window").select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+
+
+@query(
+    "es_fields_template",
+    r"""WITH f AS (
+         SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
+       )
+       SELECT doc_id,
+              '{"w1":"' || ws[1] || '","w3":"' || ws[3] || '","w5":"' || ws[5]
+                || '"}' AS doc
+       FROM f WHERE length(ws) >= 5""",
+)
+def es_fields_template(sf_dir: str):
+    """ES-sink analog: whitespace field split (strict arity) + $N template."""
+    from logpipe_ray.stages.parse import format_template, split_fields
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = split_fields(b, text_col="text", max_fields=5, strict=True)
+        b = format_template(b, '{"w1":"$1","w3":"$3","w5":"$5"}')
+        return b.select(["doc_id", "doc"])
+
+    return ds.map_batches(prep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+       FROM documents GROUP BY text""",
+)
+def dedup_exact(sf_dir: str):
+    """Exact dedup: content hash → groupby(hash) → min-id representative.
+    Only (hash, id) pairs shuffle, never the text."""
+    from ray.data.aggregate import Min
+
+    from logpipe_ray.stages.dedup import add_text_hash
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    hashed = ds.map_batches(
+        lambda b: add_text_hash(b).select(["doc_id", "text_hash"]),
+        batch_format="pyarrow",
+    )
+    out = hashed.groupby("text_hash").aggregate(
+        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies")
+    )
+    return out.map_batches(
+        lambda b: _i64(b.select(["doc_id", "n_copies"]), ["doc_id", "n_copies"]),
+        batch_format="pyarrow",
+    )
+
+
+@query(
+    "dedup_ngram_topk",
+    r"""WITH w AS (
+         SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
+       ), sh AS (
+         SELECT doc_id,
+                list_distinct(list_transform(range(1, length(ws) - 1),
+                              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+         FROM w
+       ), pairs AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(length(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / length(list_distinct(list_concat(a.s, b.s))) AS j
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       )
+       SELECT doc_a, doc_b, CAST(floor(j*10000) AS BIGINT) AS jaccard_bp
+       FROM pairs WHERE j > 0
+       ORDER BY jaccard_bp DESC, doc_a, doc_b LIMIT 20""",
+)
+def dedup_ngram_topk(sf_dir: str):
+    """Exact word-3-gram Jaccard, global top-20 most-similar pairs.
+
+    Distributed shape: shingle sets computed per batch in parallel,
+    broadcast-gathered (they are tiny vs the text), pairwise scored.
+    The MinHash+LSH query below is the sub-quadratic scale path.
+    """
+    from logpipe_ray.stages.dedup import shingle_table, topk_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    shingle_parts = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "shingles": pa.array(
+                    [
+                        st.astype("int64").tolist()
+                        for st in shingle_table(
+                            zip(
+                                (str(x) for x in b["doc_id"].to_pylist()),
+                                b["text"].to_pylist(),
+                            )
+                        ).values()
+                    ],
+                    type=pa.list_(pa.int64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    import numpy as np
+
+    shingles = {}
+    for part in shingle_parts.iter_batches(batch_format="pyarrow"):
+        for i in range(part.num_rows):
+            shingles[int(part["doc_id"][i].as_py())] = np.asarray(
+                part["shingles"][i].as_py(), dtype=np.int64
+            )
+    pairs = topk_jaccard_pairs(shingles, k=20)
+    return pa.table(
+        {
+            "doc_a": pa.array([p[0] for p in pairs], type=pa.int64()),
+            "doc_b": pa.array([p[1] for p in pairs], type=pa.int64()),
+            "jaccard_bp": pa.array([p[2] for p in pairs], type=pa.int64()),
+        }
+    )
+
+
+@query("dedup_minhash_lsh", None)  # probabilistic recall — measured in tests
+def dedup_minhash_lsh(sf_dir: str):
+    """MinHash+LSH near-dup candidates, exact-Jaccard verified (scale path:
+    shingle→minhash→band explode→bucket groupby→candidate pairs)."""
+    from logpipe_ray.pipelines.dedup_pipeline import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(sf_dir, threshold_bp=2000)
+
+
+@query("dedup_simhash", None)  # 63-bit sketch — verified vs reimpl in tests
+def dedup_simhash(sf_dir: str):
+    from logpipe_ray.stages.dedup import add_simhash
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: add_simhash(b).select(["doc_id", "simhash"]),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity
+# ---------------------------------------------------------------------------
+
+
+def _query_vectors(sf_dir: str, n: int = 5):
+    import pyarrow.parquet as pq
+
+    from logpipe_ray.stages.similarity import _matrix
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = t.filter(pc.less(t["vec_id"], n))
+    return t["vec_id"].to_pylist(), _matrix(t["embedding"])
+
+
+@query(
+    "embed_knn",
+    """WITH q AS (
+         SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+         FROM embeddings WHERE vec_id < 5
+       ), s AS (
+         SELECT qid, c.vec_id AS nid,
+                list_cosine_similarity(qv, CAST(c.embedding AS DOUBLE[])) AS cos
+         FROM q CROSS JOIN embeddings c WHERE c.vec_id != qid
+       ), r AS (
+         SELECT qid AS query_id, nid AS neighbor_id,
+                row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+         FROM s
+       )
+       SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+       FROM r WHERE rank <= 5""",
+)
+def embed_knn(sf_dir: str):
+    """Brute-force cosine top-5 for query vectors 0..4 (broadcast query
+    matrix, per-batch numpy matmul, per-query merge)."""
+    from logpipe_ray.stages.similarity import knn_topk
+
+    qids, qmat = _query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_topk(ds, qids, qmat, k=5)
+
+
+@query(
+    "embed_topk_pairs",
+    """WITH v AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       ), pairs AS (
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                list_cosine_similarity(a.e, b.e) AS cos
+         FROM v a JOIN v b ON a.vec_id < b.vec_id
+       ), r AS (
+         SELECT vec_a, vec_b,
+                row_number() OVER (ORDER BY cos DESC, vec_a, vec_b) AS rank
+         FROM pairs
+       )
+       SELECT CAST(rank AS BIGINT) AS rank, vec_a, vec_b FROM r WHERE rank <= 20""",
+)
+def embed_topk_pairs(sf_dir: str):
+    """Embedding near-dup: top-20 most-cosine-similar distinct pairs."""
+    import pyarrow.parquet as pq
+
+    from logpipe_ray.stages.similarity import topk_cosine_pairs
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return topk_cosine_pairs(t, k=20)
+
+
+@query("embed_ann_lsh", None)  # ANN recall < 1 by design — measured in tests
+def embed_ann_lsh(sf_dir: str):
+    from logpipe_ray.stages.similarity import ann_knn_bucketed
+
+    qids, qmat = _query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ann_knn_bucketed(ds, qids, qmat, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal payload plumbing (decode stubbed — no codecs in container)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_meta",
+    """SELECT doc_id,
+              CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+              CAST(64 + (octet_length(encode(text)) & 1023) AS BIGINT) AS width,
+              CAST(64 + ((octet_length(encode(text)) * 31) & 1023) AS BIGINT)
+                AS height
+       FROM documents""",
+)
+def multimodal_meta(sf_dir: str):
+    """Binary payload → actor-pool decode stub → typed metadata columns."""
+    from logpipe_ray.stages.multimodal import DecodeStub, encode_payload
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(encode_payload, batch_format="pyarrow")
+    decoded = ds.map_batches(
+        DecodeStub, batch_format="pyarrow", concurrency=2, num_cpus=0.5, batch_size=256
+    )
+    return decoded.map_batches(
+        lambda b: b.select(["doc_id", "payload_bytes", "width", "height"]),
+        batch_format="pyarrow",
+    )

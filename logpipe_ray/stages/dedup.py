@@ -1,0 +1,197 @@
+"""Deduplication family: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale shapes (ray_guide "Aggregation at scale" / dedup patterns):
+
+- **exact**: content hash in ``map_batches`` (vectorized) →
+  ``groupby(hash)`` keeps the min-id representative. The shuffle moves
+  only (hash, id) pairs, never the text.
+- **MinHash+LSH** (the 100 TB path): shingle → k minhashes → b bands;
+  explode to (band, band_hash, doc_id) rows; ``groupby`` on the band
+  key yields candidate buckets; exact Jaccard verifies candidates.
+  Probabilistic recall — the exact n-gram path is the small-scale
+  oracle it is tested against.
+- **SimHash**: 64-bit sign-sum sketch; near-dups = small Hamming
+  distance; bucket by bit-bands for sub-quadratic search.
+
+All hashes are content-derived (sha1/blake2b prefixes) — never Python's
+process-salted ``hash()``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterable
+
+import numpy as np
+import pyarrow as pa
+
+MERSENNE61 = (1 << 61) - 1
+
+
+def stable_u64(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+
+
+def add_text_hash(
+    batch: pa.Table, *, text_col: str = "text", out_col: str = "text_hash"
+) -> pa.Table:
+    """64-bit content hash column (int64, masked to 63 bits for Arrow)."""
+    vals = [
+        (stable_u64(t) >> 1) if t is not None else None
+        for t in batch[text_col].to_pylist()
+    ]
+    return batch.append_column(out_col, pa.array(vals, type=pa.int64()))
+
+
+def word_shingles(text: str, n: int = 3) -> np.ndarray:
+    """Distinct word n-gram shingles as sorted uint64 hashes."""
+    words = text.split()
+    if len(words) < n:
+        grams = [" ".join(words)] if words else []
+    else:
+        grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+    hashes = {stable_u64(g) for g in grams}
+    return np.fromiter(hashes, dtype=np.uint64, count=len(hashes))
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    if len(a) == 0 and len(b) == 0:
+        return 1.0
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    return inter / (len(a) + len(b) - inter)
+
+
+# --- MinHash ---------------------------------------------------------------
+
+
+MERSENNE31 = (1 << 31) - 1
+
+
+def _minhash_params(k: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, MERSENNE31, size=k).astype(np.int64)
+    b = rng.randint(0, MERSENNE31, size=k).astype(np.int64)
+    return a, b
+
+
+def minhash_signature(
+    shingles: np.ndarray, k: int = 128, seed: int = 7
+) -> np.ndarray:
+    """k-permutation MinHash via universal hashing mod 2^31-1 — products
+    stay < 2^62, so the whole (k × n) grid is one vectorized int64 op."""
+    a, b = _minhash_params(k, seed)
+    if len(shingles) == 0:
+        return np.full(k, np.iinfo(np.int64).max, dtype=np.int64)
+    x = (shingles % MERSENNE31).astype(np.int64)
+    grid = (a[:, None] * x[None, :] + b[:, None]) % MERSENNE31
+    return grid.min(axis=1)
+
+
+def band_keys(sig: np.ndarray, bands: int = 16) -> list[int]:
+    """LSH band hashes: split the signature into ``bands`` rows-chunks,
+    hash each chunk → (band_id, band_hash) bucket keys."""
+    rows = len(sig) // bands
+    keys = []
+    for b in range(bands):
+        chunk = sig[b * rows : (b + 1) * rows].tobytes()
+        keys.append(
+            int.from_bytes(
+                hashlib.blake2b(chunk, digest_size=8).digest(), "big"
+            )
+            >> 1
+        )
+    return keys
+
+
+def explode_lsh_bands(
+    batch: pa.Table,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 128,
+    bands: int = 16,
+    ngram: int = 3,
+) -> pa.Table:
+    """doc rows → (band_id, band_hash, doc_id) rows for the bucket groupby."""
+    ids, band_ids, band_hashes = [], [], []
+    for doc_id, text in zip(
+        batch[id_col].to_pylist(), batch[text_col].to_pylist()
+    ):
+        sig = minhash_signature(word_shingles(text or "", ngram), k=k)
+        for b, h in enumerate(band_keys(sig, bands)):
+            ids.append(doc_id)
+            band_ids.append(b)
+            band_hashes.append(h)
+    return pa.table(
+        {
+            "band_id": pa.array(band_ids, type=pa.int32()),
+            "band_hash": pa.array(band_hashes, type=pa.int64()),
+            "doc_id": pa.array(ids),
+        }
+    )
+
+
+def candidate_pairs_from_bucket(tbl: pa.Table) -> pa.Table:
+    """One LSH bucket → unordered candidate id pairs (a < b)."""
+    ids = sorted(set(tbl["doc_id"].to_pylist()))
+    a_out, b_out = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a_out.append(ids[i])
+            b_out.append(ids[j])
+    return pa.table({"doc_a": pa.array(a_out), "doc_b": pa.array(b_out)})
+
+
+# --- SimHash ---------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word features (token-hash bit sign-sums)."""
+    acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for w in set(text.split()):
+        h = np.uint64(stable_u64(w))
+        bits = (h >> shifts) & np.uint64(1)
+        acc += np.where(bits == 1, 1, -1)
+    out = 0
+    for j in range(64):
+        if acc[j] > 0:
+            out |= 1 << j
+    return out >> 1  # 63 bits, fits int64
+
+
+def add_simhash(
+    batch: pa.Table, *, text_col: str = "text", out_col: str = "simhash"
+) -> pa.Table:
+    vals = [simhash64(t or "") for t in batch[text_col].to_pylist()]
+    return batch.append_column(out_col, pa.array(vals, type=pa.int64()))
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+# --- exact all-pairs n-gram Jaccard (small-scale oracle path) --------------
+
+
+def shingle_table(
+    texts: Iterable[tuple[str, str]], ngram: int = 3
+) -> dict[str, np.ndarray]:
+    return {doc_id: word_shingles(t or "", ngram) for doc_id, t in texts}
+
+
+def topk_jaccard_pairs(
+    shingles: dict[str, np.ndarray], k: int = 20
+) -> list[tuple[str, str, int]]:
+    """Top-k (doc_a, doc_b, jaccard_bp) pairs, jaccard in basis points
+    (floor(J*10000) — integer, engine-reproducible), ordered by
+    (jaccard desc, doc_a, doc_b)."""
+    ids = sorted(shingles)
+    pairs = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            jac = jaccard(shingles[ids[i]], shingles[ids[j]])
+            if jac > 0:
+                pairs.append((ids[i], ids[j], int(jac * 10000)))
+    pairs.sort(key=lambda p: (-p[2], p[0], p[1]))
+    return pairs[:k]

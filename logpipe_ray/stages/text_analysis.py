@@ -1,0 +1,135 @@
+"""Text-analysis stages over a document table (training-data pipeline ops).
+
+These extend the engine beyond the reference's byte-forwarding scope
+with the operations a large-scale training-data pipeline needs:
+token counting, quality statistics, language ID, fingerprinting. All
+kernels are vectorized ``pyarrow.compute`` regex/string ops (RE2 — the
+same engine DuckDB uses, so regex semantics match the oracles) or
+numpy; language ID is a stateful actor-pool stage (tables built once
+per actor).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# word-ish tokens: runs of word chars, or single non-space punctuation —
+# a cheap BPE-ish pre-tokenizer split
+TOKEN_PATTERN = r"\w+|[^\w\s]"
+PUNCT_PATTERN = r"[.!?,;:]"
+STOPWORDS = ("the", "and", "of", "a", "to", "in", "is")
+
+
+def add_token_count(
+    batch: pa.Table, *, text_col: str = "text", out_col: str = "n_tokens"
+) -> pa.Table:
+    n = pc.count_substring_regex(batch[text_col], TOKEN_PATTERN)
+    return batch.append_column(out_col, pc.cast(n, pa.int64()))
+
+
+def add_text_stats(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """n_chars (codepoints), n_words (\\S+ runs), n_punct, n_stop."""
+    text = batch[text_col]
+    batch = batch.append_column(
+        "n_chars", pc.cast(pc.utf8_length(text), pa.int64())
+    )
+    batch = batch.append_column(
+        "n_words", pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+    )
+    batch = batch.append_column(
+        "n_punct", pc.cast(pc.count_substring_regex(text, PUNCT_PATTERN), pa.int64())
+    )
+    stop_pat = r"\b(?:" + "|".join(STOPWORDS) + r")\b"
+    batch = batch.append_column(
+        "n_stop", pc.cast(pc.count_substring_regex(text, stop_pat), pa.int64())
+    )
+    return batch
+
+
+def quality_score_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Heuristic quality score in [0,1]: length, punctuation balance,
+    stopword ratio (the classic pre-filter trio). Deterministic."""
+    b = add_text_stats(batch, text_col=text_col)
+    n_chars = b["n_chars"].to_numpy().astype(np.float64)
+    n_words = b["n_words"].to_numpy().astype(np.float64)
+    n_punct = b["n_punct"].to_numpy().astype(np.float64)
+    n_stop = b["n_stop"].to_numpy().astype(np.float64)
+    length_score = np.clip(n_chars / 500.0, 0.0, 1.0)
+    punct_ratio = np.where(n_chars > 0, n_punct / np.maximum(n_chars, 1), 0.0)
+    punct_score = 1.0 - np.clip(punct_ratio * 10.0, 0.0, 1.0)
+    stop_ratio = np.where(n_words > 0, n_stop / np.maximum(n_words, 1), 0.0)
+    stop_score = np.clip(stop_ratio * 4.0, 0.0, 1.0)
+    score = (length_score + punct_score + stop_score) / 3.0
+    return b.append_column("quality_score", pa.array(score, type=pa.float64()))
+
+
+# --- language ID (stateful actor-pool stage) -------------------------------
+
+_LANG_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
+    "de": {"der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "ein"},
+    "fr": {"le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"},
+    "es": {"el", "la", "los", "y", "de", "un", "una", "es", "que", "por"},
+}
+
+
+class LangId:
+    """Actor-pool language-ID stage (``map_batches(LangId, concurrency=N)``).
+
+    ``__init__`` builds per-language token tables once per actor (the
+    Init*PluginContext analog); ``__call__`` scores batches. A doc with
+    CJK codepoints → ``zh``; otherwise argmax of per-language stopword
+    hits (ties → ``und``ecided → highest-priority language order).
+    """
+
+    def __init__(self):
+        self.tables = {
+            lang: frozenset(words) for lang, words in _LANG_STOPWORDS.items()
+        }
+        self.langs = sorted(self.tables)
+        import re
+
+        self.word_re = re.compile(r"[a-zA-Z]+")
+        self.cjk_re = re.compile(r"[一-鿿]")
+
+    def _score_one(self, text: str) -> str:
+        if self.cjk_re.search(text):
+            return "zh"
+        words = [w.lower() for w in self.word_re.findall(text)]
+        if not words:
+            return "und"
+        best_lang, best = "und", 0
+        for lang in self.langs:
+            hits = sum(1 for w in words if w in self.tables[lang])
+            if hits > best:
+                best_lang, best = lang, hits
+        return best_lang
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        # per-doc python loop is acceptable here: docs are few and large
+        # relative to rows-of-tokens; the hot path stays in the actor
+        preds = [self._score_one(t) for t in batch["text"].to_pylist()]
+        return batch.append_column("lang_pred", pa.array(preds, type=pa.string()))
+
+
+# --- fingerprinting --------------------------------------------------------
+
+FP_MOD = (1 << 61) - 1  # Mersenne prime; base-256 polynomial = bytes-as-bigint
+
+
+def fingerprint_batch(
+    batch: pa.Table, *, text_col: str = "text", out_col: str = "fingerprint"
+) -> pa.Table:
+    """Document fingerprint: base-256 polynomial (rolling) hash of the
+    utf-8 bytes, mod 2^61-1 — computed as ``int.from_bytes(doc) % p``
+    (one C bigint op per doc, no per-byte Python loop)."""
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    out = [
+        (int.from_bytes(s.encode(), "big") % FP_MOD) if s is not None else None
+        for s in col.to_pylist()
+    ]
+    return batch.append_column(out_col, pa.array(out, type=pa.int64()))
