@@ -146,6 +146,60 @@ def _q_seq_routed(sf_dir: str):
     return ds.map_batches(final, batch_format="pyarrow")
 
 
+def _packed_ds(sf_dir: str):
+    """build_enriched + offset/line counters + packed header column."""
+    from logpipe_ray.pipelines.flagship import build_enriched
+    from logpipe_ray.stages.parse import pack_metadata
+
+    ds = build_enriched(sf_dir)
+
+    def prep(b: pa.Table) -> pa.Table:
+        # per-stream position counters: offset = seq (byte-offset analog),
+        # line = seq % 1048573 (m) — both derivable by the oracle
+        seq = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(b["doc_id"], r"-(?P<seq>\d+)$"), "seq"
+            ),
+            pa.int64(),
+        )
+        line = pc.subtract(seq, pc.multiply(pc.divide(seq, 1048573), 1048573))
+        b = b.append_column("offset", seq)
+        b = b.append_column("line", line)
+        return pack_metadata(
+            b, filename_col="source", offset_col="offset", line_col="line"
+        )
+
+    return ds.map_batches(prep, batch_format="pyarrow")
+
+
+def _q_seq_pack_metadata(sf_dir: str):
+    """pack-metadata filter: [[system=..][server=..][filename=..][offset=..][line=..]] header."""
+    return _packed_ds(sf_dir).map_batches(
+        lambda b: b.select(["doc_id", "packed"]), batch_format="pyarrow"
+    )
+
+
+def _q_seq_unpack_roundtrip(sf_dir: str):
+    """unpack-metadata filter: parse the packed header back to typed columns
+    (intended semantics of logpipe-filter-unpack-metadata.c:57-147)."""
+    from logpipe_ray.stages.parse import unpack_metadata
+
+    ds = _packed_ds(sf_dir)
+    return ds.map_batches(
+        lambda b: unpack_metadata(b).select(
+            [
+                "doc_id",
+                "meta_system",
+                "meta_server",
+                "meta_filename",
+                "meta_offset",
+                "meta_line",
+            ]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -168,6 +222,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_enrich": _q_seq_enrich,
         "seq_counters": _q_seq_counters,
         "seq_routed": _q_seq_routed,
+        "seq_pack_metadata": _q_seq_pack_metadata,
+        "seq_unpack_roundtrip": _q_seq_unpack_roundtrip,
     }
     out.update(QUERIES)
     return out
@@ -188,6 +244,16 @@ def oracle_sql() -> dict[str, str]:
              FROM sequences GROUP BY source, sink""",
         "seq_routed": SEQ_CTE
         + "SELECT doc_id, sink, n_tok, tokens_sum FROM sequences",
+        "seq_pack_metadata": SEQ_CTE
+        + """SELECT doc_id,
+               '[[system=' || system || '][server=' || server
+               || '][filename=' || source || '][offset=' || CAST(seq AS VARCHAR)
+               || '][line=' || CAST(m AS VARCHAR) || ']]' AS packed
+             FROM sequences""",
+        "seq_unpack_roundtrip": SEQ_CTE
+        + """SELECT doc_id, system AS meta_system, server AS meta_server,
+               source AS meta_filename, seq AS meta_offset, m AS meta_line
+             FROM sequences""",
     }
     out.update(ORACLES)
     return out

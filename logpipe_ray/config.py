@@ -1,0 +1,74 @@
+"""Config-driven pipeline builder — the LoadConfig analog.
+
+The reference builds its whole dataflow from a JSON file with
+``/inputs``, ``/filters``, ``/outputs`` arrays (src/config.c:293-492);
+this engine's spec mirrors that shape:
+
+    {
+      "source":  {"kind": "sequences", "sf_dir": "..."},
+      "stages":  [ {"kind": "cut_route_key"},
+                   {"kind": "enrich"},
+                   {"kind": "grep", "text_col": "source", "pattern": "web"} ],
+      "sink":    {"kind": "routed_parquet", "out_dir": "..."},
+      "batch_size": 8192
+    }
+
+Stages run in config order, each seeing the previous stage's output —
+the reference's filter-chain contract (src/output.c:232-253); a stage
+that filters rows drops them for everything downstream (the filter
+return>0 drop path, :244-248). Kinds resolve through
+``logpipe_ray.registry`` (the dlopen/dlsym analog).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+import ray.data
+
+from logpipe_ray.registry import SINKS, SOURCES, STAGES, ActorStage
+
+
+def load_spec(path_or_dict: str | dict) -> dict:
+    if isinstance(path_or_dict, dict):
+        return path_or_dict
+    with open(path_or_dict) as f:
+        return json.load(f)
+
+
+def build_pipeline(spec: str | dict) -> Any:
+    """Build and return the pipeline's result (Dataset or sink output)."""
+    spec = load_spec(spec)
+    batch_size = spec.get("batch_size", 8192)
+
+    src = dict(spec["source"])
+    src_kind = src.pop("kind")
+    if src_kind not in SOURCES:
+        raise KeyError(f"unknown source kind: {src_kind!r}")
+    ds: ray.data.Dataset = SOURCES[src_kind](**src)
+
+    for stage_spec in spec.get("stages", []):
+        stage_spec = dict(stage_spec)
+        kind = stage_spec.pop("kind")
+        if kind not in STAGES:
+            raise KeyError(f"unknown stage kind: {kind!r}")
+        stage = STAGES[kind](**stage_spec)
+        if isinstance(stage, ActorStage):
+            ds = ds.map_batches(
+                stage.cls,
+                fn_constructor_kwargs=stage.ctor_kwargs,
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                **stage.pool_kwargs,
+            )
+        else:
+            ds = ds.map_batches(
+                stage, batch_format="pyarrow", batch_size=batch_size
+            )
+
+    sink = dict(spec.get("sink", {"kind": "dataset"}))
+    sink_kind = sink.pop("kind")
+    if sink_kind not in SINKS:
+        raise KeyError(f"unknown sink kind: {sink_kind!r}")
+    return SINKS[sink_kind](ds, **sink)

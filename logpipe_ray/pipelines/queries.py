@@ -663,3 +663,73 @@ def multimodal_meta(sf_dir: str):
         lambda b: b.select(["doc_id", "payload_bytes", "width", "height"]),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# Log-file text source (file → lines with per-stream counters)
+# ---------------------------------------------------------------------------
+
+
+def _textsrc_fixture(sf_dir: str) -> str:
+    """Write documents as per-source text files (deterministic: lines in
+    doc_id order) — the watched-log-directory fixture."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    d = f"/tmp/lpr_textsrc_{tag}"
+    marker = os.path.join(d, "_SUCCESS")
+    if os.path.exists(marker):
+        return d
+    os.makedirs(d, exist_ok=True)
+    t = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"])
+        .sort_by("doc_id")
+    )
+    by_src: dict[str, list[str]] = {}
+    for src, text in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+        by_src.setdefault(src, []).append(text)
+    for src, lines in by_src.items():
+        with open(os.path.join(d, f"{src}.log"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+    # files the glob screens must skip (reference `.`/`_` prefix rule)
+    with open(os.path.join(d, "_skipme.log"), "w") as f:
+        f.write("nope\n")
+    with open(os.path.join(d, "notalog.txt"), "w") as f:
+        f.write("nope\n")
+    with open(marker, "w") as f:
+        f.write("ok")
+    return d
+
+
+@query(
+    "log_lines_source",
+    """SELECT source || '.log' AS source,
+              CAST(row_number() OVER w AS BIGINT) AS line_no,
+              CAST(sum(octet_length(encode(text)) + 1) OVER w
+                   - (octet_length(encode(text)) + 1) AS BIGINT) AS byte_offset,
+              CAST(length(text) AS BIGINT) AS n_chars
+       FROM documents
+       WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING)""",
+)
+def log_lines_source(sf_dir: str):
+    """Text-file source: glob-screened files → line rows with per-file
+    line_no/byte_offset counters (the trace_line/trace_offset analogs)."""
+    from logpipe_ray.sources.text import read_log_lines
+
+    d = _textsrc_fixture(sf_dir)
+    ds = read_log_lines(d, include=["*.log"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["source"],
+                "line_no": b["line_no"],
+                "byte_offset": b["byte_offset"],
+                "n_chars": pc.cast(pc.utf8_length(b["line"]), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(prep, batch_format="pyarrow")

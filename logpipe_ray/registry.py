@@ -1,0 +1,266 @@
+"""Stage registry: config ``kind`` strings → pipeline stage factories.
+
+The rebuild of logpipe's plugin surface (SURVEY.md §2.5 "User-extension
+surface"): where the reference dlopens ``.so`` plugins implementing
+typedef'd hook sets from a JSON config (src/config.c:40-290,
+src/logpipe_api.h:130-158), this engine maps a config ``kind`` to a
+registered factory returning either
+
+- a batch-callable ``fn(batch: pa.Table) -> pa.Table`` (stateless task
+  stage), or
+- an ``ActorStage(cls, ctor_kwargs, pool_kwargs)`` (stateful actor-pool
+  stage — the Init*PluginContext analog).
+
+Third-party stages register with ``@register_stage("kind")`` — a plain
+Python function instead of a compiled plugin ABI.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable
+
+import pyarrow as pa
+
+
+@dataclass
+class ActorStage:
+    cls: type
+    ctor_kwargs: dict[str, Any] = field(default_factory=dict)
+    pool_kwargs: dict[str, Any] = field(default_factory=dict)
+
+
+StageFactory = Callable[..., Any]
+
+STAGES: dict[str, StageFactory] = {}
+SOURCES: dict[str, StageFactory] = {}
+SINKS: dict[str, StageFactory] = {}
+
+
+def register_stage(kind: str):
+    def deco(fn):
+        STAGES[kind] = fn
+        return fn
+
+    return deco
+
+
+def register_source(kind: str):
+    def deco(fn):
+        SOURCES[kind] = fn
+        return fn
+
+    return deco
+
+
+def register_sink(kind: str):
+    def deco(fn):
+        SINKS[kind] = fn
+        return fn
+
+    return deco
+
+
+# --- sources ---------------------------------------------------------------
+
+
+@register_source("parquet")
+def _src_parquet(path: str, columns: list[str] | None = None, **kw):
+    import ray.data
+
+    return ray.data.read_parquet(path, columns=columns, **kw)
+
+
+@register_source("sequences")
+def _src_sequences(sf_dir: str, expand: int = 1, **kw):
+    from logpipe_ray.sources.sequences import synthesize_sequences
+
+    return synthesize_sequences(sf_dir, expand=expand, **kw)
+
+
+@register_source("log_lines")
+def _src_log_lines(path: str, include: list | None = None, exclude: list | None = None):
+    from logpipe_ray.sources.text import read_log_lines
+
+    return read_log_lines(path, include=include, exclude=exclude)
+
+
+# --- stages (filters, in reference terms) ----------------------------------
+
+
+@register_stage("cut_route_key")
+def _st_cut(**params):
+    from logpipe_ray.stages.parse import cut_route_key
+
+    return partial(cut_route_key, **params)
+
+
+@register_stage("enrich")
+def _st_enrich(routes: dict | None = None, broadcast: bool = True, **params):
+    import ray
+
+    from logpipe_ray.routes import default_route_table
+    from logpipe_ray.stages.enrich import BroadcastEnricher, Enricher
+
+    routes = routes if routes is not None else default_route_table()
+    if broadcast:
+        return BroadcastEnricher(ray.put(routes), **params)
+    return ActorStage(
+        Enricher,
+        {"routes_ref": ray.put(routes), **params},
+        {"concurrency": 4, "num_cpus": 0.5},
+    )
+
+
+@register_stage("grep")
+def _st_grep(**params):
+    from logpipe_ray.stages.parse import grep_filter
+
+    return partial(grep_filter, **params)
+
+
+@register_stage("pack_metadata")
+def _st_pack(**params):
+    from logpipe_ray.stages.parse import pack_metadata
+
+    return partial(pack_metadata, **params)
+
+
+@register_stage("unpack_metadata")
+def _st_unpack(**params):
+    from logpipe_ray.stages.parse import unpack_metadata
+
+    return partial(unpack_metadata, **params)
+
+
+@register_stage("split_fields")
+def _st_split(**params):
+    from logpipe_ray.stages.parse import split_fields
+
+    return partial(split_fields, **params)
+
+
+@register_stage("format_template")
+def _st_template(template: str, **params):
+    from logpipe_ray.stages.parse import format_template
+
+    return partial(format_template, template=template, **params)
+
+
+@register_stage("salt")
+def _st_salt(hot_keys: list[str], **params):
+    from logpipe_ray.stages.route import add_salt
+
+    return partial(add_salt, hot_keys=frozenset(hot_keys), **params)
+
+
+@register_stage("tokens_sum")
+def _st_tokens_sum(**params):
+    from logpipe_ray.functions.tokens import add_tokens_sum
+
+    return partial(add_tokens_sum, **params)
+
+
+@register_stage("text_stats")
+def _st_text_stats(**params):
+    from logpipe_ray.stages.text_analysis import add_text_stats
+
+    return partial(add_text_stats, **params)
+
+
+@register_stage("token_count")
+def _st_token_count(**params):
+    from logpipe_ray.stages.text_analysis import add_token_count
+
+    return partial(add_token_count, **params)
+
+
+@register_stage("quality_score")
+def _st_quality(**params):
+    from logpipe_ray.stages.text_analysis import quality_score_batch
+
+    return partial(quality_score_batch, **params)
+
+
+@register_stage("fingerprint")
+def _st_fingerprint(**params):
+    from logpipe_ray.stages.text_analysis import fingerprint_batch
+
+    return partial(fingerprint_batch, **params)
+
+
+@register_stage("lang_id")
+def _st_langid(**pool):
+    from logpipe_ray.stages.text_analysis import LangId
+
+    return ActorStage(LangId, {}, {"concurrency": 2, "num_cpus": 0.5, **pool})
+
+
+@register_stage("text_hash")
+def _st_text_hash(**params):
+    from logpipe_ray.stages.dedup import add_text_hash
+
+    return partial(add_text_hash, **params)
+
+
+@register_stage("simhash")
+def _st_simhash(**params):
+    from logpipe_ray.stages.dedup import add_simhash
+
+    return partial(add_simhash, **params)
+
+
+@register_stage("decode_payload")
+def _st_decode_payload(**pool):
+    from logpipe_ray.stages.multimodal import DecodeStub
+
+    return ActorStage(DecodeStub, {}, {"concurrency": 2, "num_cpus": 0.5, **pool})
+
+
+@register_stage("transcode_decode")
+def _st_transcode_decode(**params):
+    from logpipe_ray.stages.encoding import decode_binary
+
+    return partial(decode_binary, **params)
+
+
+@register_stage("transcode_encode")
+def _st_transcode_encode(**params):
+    from logpipe_ray.stages.encoding import encode_string
+
+    return partial(encode_string, **params)
+
+
+@register_stage("select")
+def _st_select(columns: list[str]):
+    return lambda b: b.select(columns)
+
+
+# --- sinks (outputs) -------------------------------------------------------
+
+
+@register_sink("parquet")
+def _sink_parquet(ds, path: str, **kw):
+    ds.write_parquet(path, **kw)
+    return None
+
+
+@register_sink("routed_parquet")
+def _sink_routed(ds, out_dir: str, batch_size: int = 8192, **kw):
+    """Per-sink fan-out write + single-pass counters (the flagship sink)."""
+    from logpipe_ray.pipelines.flagship import route_and_count
+
+    return route_and_count(ds, out_dir, batch_size=batch_size)
+
+
+@register_sink("counters")
+def _sink_counters(ds, **kw):
+    from logpipe_ray.state.counters import aggregate_counters
+
+    return aggregate_counters(ds)
+
+
+@register_sink("dataset")
+def _sink_dataset(ds, **kw):
+    return ds

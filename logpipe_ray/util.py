@@ -2,9 +2,25 @@
 
 from __future__ import annotations
 
+import datetime
 import time
 
 import ray
+
+
+def expand_path_template(template: str, when: "datetime.datetime") -> str:
+    """Date-template expansion for sink paths — the ExpandStringBuffer
+    analog (src/util.c:364-444): ``%Y %M %D %h %m %s`` → zero-padded
+    year/month/day/hour/minute/second (reference's own letter scheme,
+    not strftime's)."""
+    return (
+        template.replace("%Y", f"{when.year:04d}")
+        .replace("%M", f"{when.month:02d}")
+        .replace("%D", f"{when.day:02d}")
+        .replace("%h", f"{when.hour:02d}")
+        .replace("%m", f"{when.minute:02d}")
+        .replace("%s", f"{when.second:02d}")
+    )
 
 
 def cluster_cpus(default: int = 8, retries: int = 20) -> int:

@@ -1,0 +1,87 @@
+"""Config-driven pipeline builder: spec → same results as the code path."""
+
+import shutil
+import sys
+import tempfile
+
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from logpipe_ray.config import build_pipeline
+
+
+def test_flagship_from_spec_matches_oracle(sf_dir, oracle):
+    from __ray_entry__ import SEQ_CTE
+
+    out = tempfile.mkdtemp(prefix="lpr_cfg_")
+    spec = {
+        "source": {"kind": "sequences", "sf_dir": sf_dir},
+        "stages": [{"kind": "cut_route_key"}, {"kind": "enrich"}],
+        "sink": {"kind": "routed_parquet", "out_dir": out},
+    }
+    counters = (
+        build_pipeline(spec)
+        .to_pandas()
+        .sort_values(["source", "sink"])
+        .reset_index(drop=True)
+        .astype({"n_rows": "int64", "sum_n_tok": "int64"})
+    )
+    exp = oracle.sql(
+        SEQ_CTE
+        + """SELECT source, sink, count(*) AS n_rows,
+                    CAST(sum(n_tok) AS BIGINT) AS sum_n_tok
+             FROM sequences GROUP BY 1,2 ORDER BY 1,2"""
+    ).df()
+    pd.testing.assert_frame_equal(
+        counters[["source", "sink", "n_rows", "sum_n_tok"]], exp
+    )
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_filter_chain_order_and_drop(sf_dir):
+    """Stages run in config order; a filtering stage drops rows for all
+    downstream stages (the reference filter-chain drop semantics)."""
+    spec = {
+        "source": {"kind": "sequences", "sf_dir": sf_dir},
+        "stages": [
+            {"kind": "cut_route_key"},
+            {"kind": "grep", "text_col": "route_key", "pattern": "app_web"},
+            {"kind": "enrich"},
+            {"kind": "select", "columns": ["doc_id", "route_key", "sink"]},
+        ],
+    }
+    df = build_pipeline(spec).to_pandas()
+    assert set(df["route_key"]) == {"app_web"}
+    assert set(df["sink"]) == {"sink-web"}
+
+
+def test_actor_stage_from_spec(sf_dir):
+    spec = {
+        "source": {
+            "kind": "parquet",
+            "path": f"{sf_dir}/documents.parquet",
+            "columns": ["doc_id", "text"],
+        },
+        "stages": [{"kind": "lang_id"}],
+    }
+    df = build_pipeline(spec).to_pandas()
+    assert "lang_pred" in df.columns and len(df) == 500
+
+
+def test_unknown_kind_raises(sf_dir):
+    with pytest.raises(KeyError, match="unknown stage kind"):
+        build_pipeline(
+            {
+                "source": {"kind": "sequences", "sf_dir": sf_dir},
+                "stages": [{"kind": "nope"}],
+            }
+        )
+
+
+def test_example_spec_file_loads():
+    import json
+
+    spec = json.load(open("/root/repo/examples/flagship.json"))
+    assert spec["source"]["kind"] == "sequences"

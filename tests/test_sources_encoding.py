@@ -1,0 +1,71 @@
+"""Text source (glob screens, line counters), encoding stage, path template."""
+
+import datetime
+import os
+import tempfile
+
+import pyarrow as pa
+
+from logpipe_ray.sources.text import match_files, read_log_lines, split_file_to_lines
+from logpipe_ray.stages.encoding import decode_binary, encode_string
+from logpipe_ray.util import expand_path_template
+
+
+class TestGlobScreens:
+    def test_include_exclude_and_prefix_skip(self):
+        names = ["a.log", "b.log", "b.tmp", ".hidden.log", "_part.log", "c.LOG"]
+        assert match_files(names, include=["*.log"]) == ["a.log", "b.log"]
+        assert match_files(names, include=["*.log"], exclude=["b*"]) == ["a.log"]
+        assert match_files(names) == ["a.log", "b.log", "b.tmp", "c.LOG"]
+
+
+class TestLineSplit:
+    def test_counters_exact(self):
+        payload = "first\nsecond line\nthird\n".encode()
+        t = pa.table({"path": ["/x/app.log"], "bytes": [payload]})
+        out = split_file_to_lines(t)
+        assert out["source"].to_pylist() == ["app.log"] * 3
+        assert out["line_no"].to_pylist() == [1, 2, 3]
+        assert out["byte_offset"].to_pylist() == [0, 6, 18]
+        assert out["line"].to_pylist() == ["first", "second line", "third"]
+
+    def test_no_trailing_newline(self):
+        t = pa.table({"path": ["/x/a.log"], "bytes": ["one\ntwo".encode()]})
+        out = split_file_to_lines(t)
+        assert out["line"].to_pylist() == ["one", "two"]
+
+    def test_end_to_end_read(self):
+        d = tempfile.mkdtemp(prefix="lpr_txt_")
+        with open(os.path.join(d, "x.log"), "w") as f:
+            f.write("l1\nl2\n")
+        with open(os.path.join(d, "_skip.log"), "w") as f:
+            f.write("nope\n")
+        ds = read_log_lines(d, include=["*.log"])
+        rows = sorted(
+            (r["source"], r["line_no"], r["line"]) for r in ds.take_all()
+        )
+        assert rows == [("x.log", 1, "l1"), ("x.log", 2, "l2")]
+
+
+class TestEncoding:
+    def test_gb18030_roundtrip(self):
+        texts = ["简单的中文日志行", "ascii only", "mixed 日志 text"]
+        t = pa.table({"text": texts})
+        enc = encode_string(t, col="text", encoding="gb18030", out_col="raw")
+        # raw is NOT valid utf-8 for the CJK rows — the iconv scenario
+        assert enc["raw"][0].as_py() != texts[0].encode()
+        dec = decode_binary(enc, col="raw", encoding="gb18030", out_col="back")
+        assert dec["back"].to_pylist() == texts
+
+    def test_null_passthrough(self):
+        t = pa.table({"text": pa.array(["a", None], type=pa.string())})
+        enc = encode_string(t, col="text", out_col="raw")
+        dec = decode_binary(enc, col="raw", out_col="back")
+        assert dec["back"].to_pylist() == ["a", None]
+
+
+class TestPathTemplate:
+    def test_reference_letter_scheme(self):
+        when = datetime.datetime(2026, 8, 17, 3, 7, 9)
+        out = expand_path_template("out/%Y%M%D/%h-%m-%s/part", when)
+        assert out == "out/20260817/03-07-09/part"
