@@ -254,6 +254,15 @@ def oracle_sql() -> dict[str, str]:
         + """SELECT doc_id, system AS meta_system, server AS meta_server,
                source AS meta_filename, seq AS meta_offset, m AS meta_line
              FROM sequences""",
+        # distinct over the actual token arrays (rebuilt in SQL), not m:
+        # distinct m upper-bounds distinct arrays (short arrays collide)
+        "seq_dedup_exact": SEQ_CTE
+        + """SELECT count(*) AS n_rows,
+               count(DISTINCT list_transform(range(0, CAST(n_tok AS INT)),
+                     i -> (m*1000003 + i*10007) % 50257)) AS n_unique_sequences,
+               count(*) - count(DISTINCT list_transform(range(0, CAST(n_tok AS INT)),
+                     i -> (m*1000003 + i*10007) % 50257)) AS n_dupe_rows
+             FROM sequences""",
     }
     out.update(ORACLES)
     return out

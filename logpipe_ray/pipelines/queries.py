@@ -733,3 +733,89 @@ def log_lines_source(sf_dir: str):
         )
 
     return ds.map_batches(prep, batch_format="pyarrow")
+
+
+@query(
+    "events_sliding",
+    """SELECT user_id, "window", count(*) AS n_events
+       FROM (
+         SELECT user_id, CAST(floor(epoch(ts)/1800) AS BIGINT) AS "window" FROM events
+         UNION ALL
+         SELECT user_id, CAST(floor(epoch(ts)/1800) AS BIGINT) - 1 AS "window" FROM events
+       ) t GROUP BY 1, 2""",
+)
+def events_sliding(sf_dir: str):
+    """Sliding window (width 3600s, slide 1800s): each event lands in two
+    half-overlapping windows — emitted by duplicating rows with both
+    window ids in map_batches, then one groupby. Window id w covers
+    [w*1800, w*1800+3600)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        users = b["user_id"].to_numpy(zero_copy_only=False)
+        epoch_us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w = epoch_us // (1800 * 1_000_000)
+        return pa.table(
+            {
+                "user_id": pa.array(np.concatenate([users, users]), type=pa.int64()),
+                "window": pa.array(np.concatenate([w, w - 1]), type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["user_id", "window"])
+        .aggregate(Count(alias_name="n_events"))
+    )
+
+
+@query(
+    "seq_dedup_exact",
+    # tokens are a pure function of m (sources/sequences.py), so distinct
+    # token arrays == distinct m — the oracle counts via m while the Ray
+    # side hashes the actual token bytes (honest content dedup).
+    None,  # oracle registered by __ray_entry__ (needs SEQ_CTE)
+)
+def seq_dedup_exact(sf_dir: str):
+    """Exact dedup over the token payload: blake2b of the token bytes →
+    groupby(hash) → (one row) corpus dedup stats."""
+    import hashlib
+
+    from logpipe_ray.sources.sequences import synthesize_sequences
+
+    ds = synthesize_sequences(sf_dir)
+
+    def hash_tokens(b: pa.Table) -> pa.Table:
+        col = b["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        import numpy as np
+
+        offsets = col.offsets.to_numpy()
+        vals = col.values.to_numpy(zero_copy_only=False).astype("<i4").tobytes()
+        hashes = [
+            int.from_bytes(
+                hashlib.blake2b(
+                    vals[offsets[i] * 4 : offsets[i + 1] * 4], digest_size=8
+                ).digest(),
+                "big",
+            )
+            >> 1
+            for i in range(len(col))
+        ]
+        return pa.table({"tokens_hash": pa.array(hashes, type=pa.int64())})
+
+    hashed = ds.map_batches(hash_tokens, batch_format="pyarrow")
+    groups = hashed.groupby("tokens_hash").aggregate(Count(alias_name="n"))
+    import pandas as pd
+
+    df = groups.to_pandas()
+    return pd.DataFrame(
+        {
+            "n_rows": [int(df["n"].sum())],
+            "n_unique_sequences": [len(df)],
+            "n_dupe_rows": [int((df["n"] - 1).sum())],
+        }
+    )

@@ -264,3 +264,11 @@ def _sink_counters(ds, **kw):
 @register_sink("dataset")
 def _sink_dataset(ds, **kw):
     return ds
+
+
+@register_sink("stdout")
+def _sink_stdout(ds, limit: int = 20, **kw):
+    """Debug sink (logpipe-output-stdout analog)."""
+    df = ds.limit(limit).to_pandas()
+    print(df.to_string())
+    return df
