@@ -52,9 +52,17 @@ def ensure_input(sf_dir: str, expand: int) -> str:
 
 def run_flagship_bench(seq_dir: str, out_dir: str) -> dict:
     """Timed: read → parse → enrich → routed write → counters."""
+    import gc
+    import shutil
+    import tempfile
+
     import ray.data
 
-    from logpipe_ray.pipelines.flagship import enrich_pipeline, route_and_count
+    from logpipe_ray.pipelines.flagship import (
+        enrich_pipeline,
+        route_and_count,
+        route_shuffled,
+    )
 
     timings = {}
     t0 = time.time()
@@ -63,6 +71,32 @@ def run_flagship_bench(seq_dir: str, out_dir: str) -> dict:
     counters = route_and_count(enriched, out_dir, batch_size=16384).to_pandas()
     timings["total"] = time.time() - t0
     timings["n_groups"] = len(counters)
+    del ds, enriched
+    gc.collect()
+
+    # secondary: the explicit salted shuffle router (one all-to-all).
+    # Measured on a 1/8 input subset: the full-shuffle path degrades
+    # superlinearly under object-store pressure (238s vs 15.5s for 8×
+    # less data at 32 CPUs — see BASELINE.md), which is exactly why the
+    # fan-out writer is the headline design. Skipped in --scaling
+    # subprocesses (headline metric only there).
+    if os.environ.get("BENCH_SHUFFLED", "1") != "1":
+        return timings
+    import glob as _glob
+
+    files = sorted(_glob.glob(f"{seq_dir}/*.parquet"))
+    subset = files[: max(1, len(files) // 8)]
+    out2 = tempfile.mkdtemp(prefix="lpr_bench_shuf_")
+    try:
+        t1 = time.time()
+        ds = ray.data.read_parquet(subset)
+        route_shuffled(
+            enrich_pipeline(ds, batch_size=16384), out2, batch_size=16384
+        ).to_pandas()
+        timings["route_shuffled_eighth"] = time.time() - t1
+    finally:
+        shutil.rmtree(out2, ignore_errors=True)
+        gc.collect()
     return timings
 
 
@@ -122,7 +156,12 @@ def main() -> None:
         "metric": "flagship_parse_enrich_route_aggregate_sec",
         "value": round(headline, 3),
         "unit": "sec",
-        "queries": {"flagship": round(timings["total"], 3)},
+        "queries": {
+            "flagship": round(timings["total"], 3),
+            "route_shuffled_eighth": round(
+                timings.get("route_shuffled_eighth", 0.0), 3
+            ),
+        },
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "rows": n_rows,
@@ -150,7 +189,7 @@ def scaling() -> None:
     lo, hi = SCALE_LEVELS
     rates, secs = {}, {}
     for ncpu in (lo, hi):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SHUFFLED="0")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

@@ -135,3 +135,55 @@ def run_flagship(
 def read_routed(out_dir: str, *, columns: list[str] | None = None) -> ray.data.Dataset:
     """Read back the routed per-sink output (hive-partitioned by sink)."""
     return ray.data.read_parquet(out_dir, columns=columns)
+
+
+def route_shuffled(
+    enriched: ray.data.Dataset,
+    out_dir: str,
+    *,
+    hot_sinks: frozenset[str] | None = None,
+    salt_buckets: int = 16,
+    batch_size: int = 8192,
+) -> ray.data.Dataset:
+    """The explicit hash-partitioned router: shuffle rows by (sink, salt)
+    so each output partition holds exactly one sink's rows, then write
+    one file per partition.
+
+    This is the shuffle alternative to :func:`route_and_count` (which
+    fans out per-sink files from every task without moving rows). Use it
+    when sinks need few large files or downstream work is per-sink;
+    ``hot_sinks`` rows are salted into ``salt_buckets`` sub-partitions
+    (stages/route.add_salt) so the ~50%-of-rows hot sink cannot become
+    one giant straggler partition — the north-rule skew requirement.
+    Counters are folded from the same written groups (single pass).
+    """
+    import pyarrow as pa
+
+    from logpipe_ray.stages.route import add_salt, write_routed_batch
+
+    if hot_sinks is None:
+        hot_sinks = frozenset({"sink-web"})  # receives the hot source
+
+    salted = enriched.map_batches(
+        lambda b: add_salt(
+            b, hot_keys=hot_sinks, key_col="sink", buckets=salt_buckets
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+    def write_group(tbl: pa.Table) -> pa.Table:
+        salt = tbl["salt"][0].as_py() if tbl.num_rows else 0
+        sink = tbl["sink"][0].as_py() if tbl.num_rows else ""
+        tag = f"shuf-{sink}-{salt:04d}"
+        return write_routed_batch(
+            tbl.drop_columns(["salt"]), out_dir=out_dir, file_tag=tag
+        )
+
+    partials = salted.groupby(["sink", "salt"]).map_groups(
+        write_group, batch_format="pyarrow"
+    )
+    return partials.groupby(["source", "sink"]).aggregate(
+        Sum("n_rows", alias_name="n_rows"),
+        Sum("sum_n_tok", alias_name="sum_n_tok"),
+    )
