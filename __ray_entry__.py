@@ -172,6 +172,30 @@ def _packed_ds(sf_dir: str):
     return ds.map_batches(prep, batch_format="pyarrow")
 
 
+def _q_seq_sample(sf_dir: str):
+    """Deterministic reproducible sampling: hash-mod on the stream key
+    (``seq % 20 == 3`` ⇒ exact 5% sample, stable across runs/engines) —
+    the scale-correct alternative to seeded random_sample."""
+    from logpipe_ray.sources.sequences import synthesize_sequences
+
+    ds = synthesize_sequences(sf_dir)
+
+    def prep(b: pa.Table) -> pa.Table:
+        seq = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(b["doc_id"], r"-(?P<seq>\d+)$"), "seq"
+            ),
+            pa.int64(),
+        )
+        keep = pc.equal(
+            pc.subtract(seq, pc.multiply(pc.divide(seq, 20), 20)), 3
+        )
+        b = b.filter(keep)
+        return _i64(b.select(["doc_id", "source", "n_tok"]), ["n_tok"])
+
+    return ds.map_batches(prep, batch_format="pyarrow")
+
+
 def _q_seq_pack_metadata(sf_dir: str):
     """pack-metadata filter: [[system=..][server=..][filename=..][offset=..][line=..]] header."""
     return _packed_ds(sf_dir).map_batches(
@@ -224,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_routed": _q_seq_routed,
         "seq_pack_metadata": _q_seq_pack_metadata,
         "seq_unpack_roundtrip": _q_seq_unpack_roundtrip,
+        "seq_sample": _q_seq_sample,
     }
     out.update(QUERIES)
     return out
@@ -254,6 +279,8 @@ def oracle_sql() -> dict[str, str]:
         + """SELECT doc_id, system AS meta_system, server AS meta_server,
                source AS meta_filename, seq AS meta_offset, m AS meta_line
              FROM sequences""",
+        "seq_sample": SEQ_CTE
+        + """SELECT doc_id, source, n_tok FROM sequences WHERE seq % 20 = 3""",
         # distinct over the actual token arrays (rebuilt in SQL), not m:
         # distinct m upper-bounds distinct arrays (short arrays collide)
         "seq_dedup_exact": SEQ_CTE

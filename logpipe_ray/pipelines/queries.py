@@ -819,3 +819,79 @@ def seq_dedup_exact(sf_dir: str):
             "n_dupe_rows": [int((df["n"] - 1).sum())],
         }
     )
+
+
+@query(
+    "events_asof",
+    """SELECT p.event_id,
+              CAST(s.event_id AS DOUBLE) AS signup_event_id
+       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+         ON p.user_id = s.user_id AND p.ts >= s.ts""",
+)
+def events_asof(sf_dir: str):
+    """As-of join: each purchase matched to the user's most recent prior
+    signup (groupby(user).map_groups + pd.merge_asof)."""
+    from logpipe_ray.stages.window import asof_join_by_key
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def mark(b: pa.Table) -> pa.Table:
+        b = b.append_column("is_l", pc.equal(b["event_type"], "purchase"))
+        return b.append_column("is_r", pc.equal(b["event_type"], "signup"))
+
+    marked = ds.map_batches(mark, batch_format="pyarrow")
+    return asof_join_by_key(
+        marked,
+        key_col="user_id",
+        ts_col="ts",
+        left_mask_col="is_l",
+        right_mask_col="is_r",
+        left_id="event_id",
+        right_id="event_id",
+        out_right_id="signup_event_id",
+    )
+
+
+@query(
+    "events_cumsum",
+    """SELECT event_id,
+              CAST(SUM(CAST(round(value*100) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+       FROM events""",
+)
+def events_cumsum(sf_dir: str):
+    from logpipe_ray.stages.window import cumulative_sum_by_key
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return cumulative_sum_by_key(ds)
+
+
+@query(
+    "events_union",
+    """SELECT event_type, count(*) AS n FROM (
+         SELECT event_type FROM events WHERE event_type = 'purchase' AND value >= 100
+         UNION ALL
+         SELECT event_type FROM events WHERE event_type = 'error'
+       ) t GROUP BY event_type""",
+)
+def events_union(sf_dir: str):
+    """Dataset.union of two filtered slices, then aggregate."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    purchases = ds.map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.equal(b["event_type"], "purchase"),
+                pc.greater_equal(b["value"], 100.0),
+            )
+        ).select(["event_type"]),
+        batch_format="pyarrow",
+    )
+    errors = ds.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "error")).select(["event_type"]),
+        batch_format="pyarrow",
+    )
+    return purchases.union(errors).groupby("event_type").aggregate(
+        Count(alias_name="n")
+    )

@@ -137,3 +137,75 @@ def top_k(
         .aggregate(Sum("value_cents", alias_name="total_cents"))
     )
     return totals.sort(["total_cents", key_col], descending=[True, False]).limit(k)
+
+
+def asof_join_by_key(
+    ds: ray.data.Dataset,
+    *,
+    key_col: str,
+    ts_col: str,
+    left_mask_col: str,
+    right_mask_col: str,
+    left_id: str,
+    right_id: str,
+    out_right_id: str,
+) -> ray.data.Dataset:
+    """As-of join within each key: for every left row, the most recent
+    right row with ts <= left.ts (backward, exact matches allowed).
+
+    Composition per ray_guide "As-of / range join": co-locate by key
+    with one groupby shuffle, then ``pd.merge_asof`` over the sorted
+    group. Left/right membership comes from boolean mask columns so a
+    single pass over one dataset can as-of join two of its slices
+    (e.g. purchases against signups in an event log).
+    """
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g[left_mask_col]].sort_values([ts_col, left_id])
+        right = g[g[right_mask_col]].sort_values([ts_col, right_id])
+        if len(left) == 0:
+            return pd.DataFrame(
+                {
+                    left_id: pd.Series([], dtype="int64"),
+                    out_right_id: pd.Series([], dtype="float64"),
+                }
+            )
+        if len(right) == 0:
+            out = pd.DataFrame({left_id: left[left_id].astype("int64")})
+            out[out_right_id] = np.nan
+            return out
+        merged = pd.merge_asof(
+            left[[ts_col, left_id]],
+            right[[ts_col, right_id]].rename(columns={right_id: out_right_id}),
+            on=ts_col,
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return merged[[left_id, out_right_id]].astype(
+            {left_id: "int64", out_right_id: "float64"}
+        )
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
+def cumulative_sum_by_key(
+    ds: ray.data.Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> ray.data.Dataset:
+    """Per-key running cents-sum in (ts, id) order → (id, running_cents)."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col])
+        cents = np.round(g[value_col] * 100.0).astype(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].astype("int64").to_numpy(),
+                "running_cents": cents.cumsum().to_numpy(),
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
