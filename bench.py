@@ -60,18 +60,17 @@ def run_flagship_bench(seq_dir: str, out_dir: str) -> dict:
 
     from logpipe_ray.pipelines.flagship import (
         enrich_pipeline,
-        route_and_count,
         route_shuffled,
+        run_fused,
     )
 
     timings = {}
     t0 = time.time()
     ds = ray.data.read_parquet(seq_dir)
-    enriched = enrich_pipeline(ds, batch_size=16384)
-    counters = route_and_count(enriched, out_dir, batch_size=16384).to_pandas()
+    counters = run_fused(ds, out_dir, batch_size=16384).to_pandas()
     timings["total"] = time.time() - t0
     timings["n_groups"] = len(counters)
-    del ds, enriched
+    del ds
     gc.collect()
 
     # secondary: the explicit salted shuffle router (one all-to-all).

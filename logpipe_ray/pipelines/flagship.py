@@ -187,3 +187,47 @@ def route_shuffled(
         Sum("n_rows", alias_name="n_rows"),
         Sum("sum_n_tok", alias_name="sum_n_tok"),
     )
+
+
+def run_fused(
+    seq_ds: ray.data.Dataset,
+    out_dir: str,
+    *,
+    routes: dict | None = None,
+    batch_size: int = 16384,
+) -> ray.data.Dataset:
+    """Single-operator flagship: parse+enrich+routed-write composed into
+    ONE map_batches UDF so the whole hot path is one task per block — no
+    operator boundaries, no intermediate blocks in the object store
+    (measured ~17% faster than the three-stage chain; BASELINE.md).
+    Semantically identical to enrich_pipeline → route_and_count.
+    """
+    from functools import partial
+
+    from logpipe_ray.stages.enrich import enrich_batch
+    from logpipe_ray.stages.route import write_routed_batch
+
+    if routes is None:
+        routes = default_route_table()
+    routes_ref = ray.put(routes)
+
+    def fused(b, _ref=routes_ref):
+        import ray as _ray
+
+        from logpipe_ray.stages.enrich import _PROC_CACHE
+
+        key = _ref.hex()
+        if key not in _PROC_CACHE:
+            _PROC_CACHE[key] = _ray.get(_ref)
+        r = _PROC_CACHE[key]
+        return write_routed_batch(
+            enrich_batch(cut_route_key(b), r), out_dir=out_dir
+        )
+
+    partials = seq_ds.map_batches(
+        fused, batch_format="pyarrow", batch_size=batch_size
+    )
+    return partials.groupby(["source", "sink"]).aggregate(
+        Sum("n_rows", alias_name="n_rows"),
+        Sum("sum_n_tok", alias_name="sum_n_tok"),
+    )

@@ -95,3 +95,30 @@ def test_enriched_schema(sf_dir):
         "system",
         "server",
     ]
+
+
+def test_run_fused_matches_oracle(sf_dir, oracle):
+    """The single-operator fused flagship is semantically identical."""
+    import tempfile
+
+    from logpipe_ray.pipelines.flagship import run_fused
+    from logpipe_ray.sources.sequences import synthesize_sequences
+
+    out = tempfile.mkdtemp(prefix="lpr_fused_")
+    counters = (
+        run_fused(synthesize_sequences(sf_dir), out)
+        .to_pandas()
+        .sort_values(["source", "sink"])
+        .reset_index(drop=True)
+        .astype({"n_rows": "int64", "sum_n_tok": "int64"})
+    )
+    exp = oracle.sql(
+        SEQ_CTE
+        + """SELECT source, sink, count(*) AS n_rows,
+                    CAST(sum(n_tok) AS BIGINT) AS sum_n_tok
+             FROM sequences GROUP BY 1,2 ORDER BY 1,2"""
+    ).df()
+    pd.testing.assert_frame_equal(
+        counters[["source", "sink", "n_rows", "sum_n_tok"]], exp
+    )
+    shutil.rmtree(out, ignore_errors=True)
