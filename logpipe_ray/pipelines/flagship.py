@@ -125,11 +125,16 @@ def run_flagship(
     partials, which a tiny groupby folds into the final per-(source,
     sink) counters — data is written and counted in the same streaming
     execution (commit-after-write semantics, src/output.c:280-302).
+    Uses the fused single-operator path (:func:`run_fused`) unless an
+    actor-pool enrich is explicitly requested via ``concurrency``.
     """
-    enriched = build_enriched(
-        sf_dir, expand=expand, concurrency=concurrency, batch_size=batch_size
-    )
-    return route_and_count(enriched, out_dir, batch_size=batch_size)
+    if concurrency is not None:
+        enriched = build_enriched(
+            sf_dir, expand=expand, concurrency=concurrency, batch_size=batch_size
+        )
+        return route_and_count(enriched, out_dir, batch_size=batch_size)
+    seq = synthesize_sequences(sf_dir, expand=expand, batch_size=batch_size)
+    return run_fused(seq, out_dir, batch_size=batch_size)
 
 
 def read_routed(out_dir: str, *, columns: list[str] | None = None) -> ray.data.Dataset:

@@ -895,3 +895,13 @@ def events_union(sf_dir: str):
     return purchases.union(errors).groupby("event_type").aggregate(
         Count(alias_name="n")
     )
+
+
+@query("events_approx_users", None)  # sketch estimate — tolerance-tested vs exact
+def events_approx_users(sf_dir: str):
+    """Approximate distinct users per event_type via mergeable KMV
+    sketches (only ≤k-int64 sketch rows shuffle, never the values)."""
+    from logpipe_ray.functions.sketches import approx_distinct_by_key
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return approx_distinct_by_key(ds, key_col="event_type", value_col="user_id")

@@ -180,3 +180,45 @@ class TestTopkJaccard:
         pairs = topk_jaccard_pairs(sh, k=10)
         assert pairs[0][0] == "a" and pairs[0][1] == "b"
         assert all(p[2] >= pairs[-1][2] for p in pairs)
+
+
+class TestKmvSketch:
+    def test_exact_below_k(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from logpipe_ray.functions.sketches import kmv_estimate, kmv_partial
+
+        vals = pa.array(list(range(100)), type=pa.int64())
+        sk = kmv_partial(vals, k=256)
+        assert kmv_estimate(sk, k=256) == 100.0
+
+    def test_estimate_within_tolerance(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from logpipe_ray.functions.sketches import (
+            kmv_estimate,
+            kmv_merge,
+            kmv_partial,
+        )
+
+        n = 50_000
+        vals = pa.array(np.arange(n), type=pa.int64())
+        # two overlapping halves merged — union is still n distinct
+        a = kmv_partial(vals.slice(0, 30_000), k=256)
+        b = kmv_partial(vals.slice(20_000, 30_000), k=256)
+        est = kmv_estimate(kmv_merge([a, b], 256), 256)
+        assert abs(est - n) / n < 0.15
+
+    def test_grouped_estimate_vs_exact(self, sf_dir, oracle):
+        from logpipe_ray.pipelines.queries import events_approx_users
+
+        got = events_approx_users(sf_dir).to_pandas()
+        exact = oracle.sql(
+            "SELECT event_type, count(DISTINCT user_id) AS n FROM events GROUP BY 1"
+        ).df()
+        m = got.merge(exact, on="event_type")
+        assert len(m) == len(exact)
+        rel = (m["approx_distinct"] - m["n"]).abs() / m["n"]
+        assert (rel < 0.15).all(), m.to_string()
