@@ -73,6 +73,24 @@ def run_flagship_bench(seq_dir: str, out_dir: str) -> dict:
     del ds
     gc.collect()
 
+    # secondary: the resumable storage→storage fragment runner (the
+    # 100 TB shape: blocks never transit the object store; manifest
+    # commit per fragment). Measured faster than the in-store path.
+    if os.environ.get("BENCH_SHUFFLED", "1") == "1":
+        import glob as _glob2
+
+        from logpipe_ray.pipelines.resumable import run_resumable
+
+        paths = sorted(_glob2.glob(f"{seq_dir}/*.parquet"))
+        out3 = tempfile.mkdtemp(prefix="lpr_bench_res_")
+        try:
+            t2 = time.time()
+            run_resumable(paths, out3, make_sequences=False)
+            timings["resumable"] = time.time() - t2
+        finally:
+            shutil.rmtree(out3, ignore_errors=True)
+            gc.collect()
+
     # secondary: the explicit salted shuffle router (one all-to-all).
     # Measured on a 1/8 input subset: the full-shuffle path degrades
     # superlinearly under object-store pressure (238s vs 15.5s for 8×
@@ -157,6 +175,7 @@ def main() -> None:
         "unit": "sec",
         "queries": {
             "flagship": round(timings["total"], 3),
+            "resumable": round(timings.get("resumable", 0.0), 3),
             "route_shuffled_eighth": round(
                 timings.get("route_shuffled_eighth", 0.0), 3
             ),
