@@ -176,9 +176,12 @@ def format_template(
         pos = mobj.end()
     if pos < len(template):
         parts.append(template[pos:])
-    out = pc.binary_join_element_wise(*parts, "") if len(parts) > 1 else pa.array(
-        [template] * batch.num_rows
-    )
+    if all(isinstance(p, str) for p in parts):
+        out = pa.array(["".join(parts)] * batch.num_rows)  # no $N refs
+    elif len(parts) == 1:
+        out = parts[0]  # template is exactly one "$N"
+    else:
+        out = pc.binary_join_element_wise(*parts, "")
     return batch.append_column(out_col, out)
 
 
