@@ -905,3 +905,62 @@ def events_approx_users(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
     return approx_distinct_by_key(ds, key_col="event_type", value_col="user_id")
+
+
+@query(
+    "multijoin_nation_revenue",
+    """SELECT n_name,
+              CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+                   AS BIGINT) AS revenue_cents,
+              count(*) AS n_items
+       FROM lineitem
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       GROUP BY n_name""",
+)
+def multijoin_nation_revenue(sf_dir: str):
+    """Multi-way star join: fact ⋈ two broadcast dimensions chained
+    (supplier, nation pre-joined driver-side — both tiny), then agg."""
+    import pyarrow.parquet as pq
+
+    from logpipe_ray.stages.joins import broadcast_join
+
+    supplier = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    dim = supplier.join(
+        nation, keys=["s_nationkey"], right_keys=["n_nationkey"]
+    ).select(["s_suppkey", "n_name"])
+    ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
+    joined = broadcast_join(ds, dim, keys="l_suppkey", right_keys="s_suppkey")
+
+    def prep(b: pa.Table) -> pa.Table:
+        disc = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
+        return pa.table({"n_name": b["n_name"], "rev_cents": _cents(disc)})
+
+    return (
+        joined.map_batches(prep, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(
+            Sum("rev_cents", alias_name="revenue_cents"),
+            Count(alias_name="n_items"),
+        )
+    )
+
+
+@query(
+    "agg_having",
+    """SELECT source, count(*) AS n_docs
+       FROM documents GROUP BY source HAVING count(*) >= 20""",
+)
+def agg_having(sf_dir: str):
+    """Post-aggregation filter (HAVING): groupby → vectorized filter."""
+    ds = _read(sf_dir, "documents", ["source"])
+    agg = ds.groupby("source").aggregate(Count(alias_name="n_docs"))
+    return agg.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["n_docs"], 20)),
+        batch_format="pyarrow",
+    )

@@ -85,3 +85,19 @@ def test_example_spec_file_loads():
 
     spec = json.load(open("/root/repo/examples/flagship.json"))
     assert spec["source"]["kind"] == "sequences"
+
+
+def test_custom_stage_registration(sf_dir):
+    """Third-party stages plug in via @register_stage (plugin surface)."""
+    import examples.custom_stage  # noqa: F401 — registers 'redact_digits'
+
+    spec = {
+        "source": {
+            "kind": "parquet",
+            "path": f"{sf_dir}/documents.parquet",
+            "columns": ["doc_id", "text"],
+        },
+        "stages": [{"kind": "redact_digits", "col": "text", "replacement": "#"}],
+    }
+    df = build_pipeline(spec).to_pandas()
+    assert not df["text"].str.contains(r"\d").any()
