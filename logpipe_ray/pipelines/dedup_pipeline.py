@@ -93,3 +93,25 @@ def minhash_lsh_pairs(
             "jaccard_bp": pa.array([r[2] for r in rows], type=pa.int64()),
         }
     )
+
+
+def near_dup_clusters(
+    sf_dir: str, *, threshold_bp: int = 2000, **lsh_kwargs
+) -> pa.Table:
+    """Cluster near-duplicates: LSH candidates → verified pairs →
+    connected components → (doc_id, cluster_rep). Docs with no near-dup
+    are omitted (they are their own singleton cluster implicitly)."""
+    from logpipe_ray.stages.dedup import union_find_clusters
+
+    pairs_tbl = minhash_lsh_pairs(sf_dir, threshold_bp=threshold_bp, **lsh_kwargs)
+    pairs = list(
+        zip(pairs_tbl["doc_a"].to_pylist(), pairs_tbl["doc_b"].to_pylist())
+    )
+    clusters = union_find_clusters(pairs)
+    items = sorted(clusters.items())
+    return pa.table(
+        {
+            "doc_id": pa.array([k for k, _ in items], type=pa.int64()),
+            "cluster_rep": pa.array([v for _, v in items], type=pa.int64()),
+        }
+    )

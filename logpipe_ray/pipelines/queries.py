@@ -964,3 +964,11 @@ def agg_having(sf_dir: str):
         lambda b: b.filter(pc.greater_equal(b["n_docs"], 20)),
         batch_format="pyarrow",
     )
+
+
+@query("dedup_clusters", None)  # LSH-based — component property tested
+def dedup_clusters(sf_dir: str):
+    """Near-dup clusters: verified LSH pairs → union-find components."""
+    from logpipe_ray.pipelines.dedup_pipeline import near_dup_clusters
+
+    return near_dup_clusters(sf_dir, threshold_bp=2000)

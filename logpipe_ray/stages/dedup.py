@@ -195,3 +195,34 @@ def topk_jaccard_pairs(
                 pairs.append((ids[i], ids[j], int(jac * 10000)))
     pairs.sort(key=lambda p: (-p[2], p[0], p[1]))
     return pairs[:k]
+
+
+# --- clustering ------------------------------------------------------------
+
+
+def union_find_clusters(pairs) -> dict:
+    """node → cluster representative (min id) from an edge list.
+
+    Driver-side union-find: correct when the verified near-dup pair set
+    is small relative to the corpus (the usual post-LSH situation; the
+    pairs, not the docs, come to the driver). For pathological pair
+    volumes, run distributed min-label propagation instead: iterate
+    ``edges.groupby(node).aggregate(Min(label))`` until labels stop
+    changing — same result, one shuffle per round.
+    """
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # keep the smaller id as root → deterministic representative
+            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+            parent[hi] = lo
+    return {n: find(n) for n in parent}

@@ -222,3 +222,22 @@ class TestKmvSketch:
         assert len(m) == len(exact)
         rel = (m["approx_distinct"] - m["n"]).abs() / m["n"]
         assert (rel < 0.15).all(), m.to_string()
+
+
+class TestUnionFind:
+    def test_components_and_representatives(self):
+        from logpipe_ray.stages.dedup import union_find_clusters
+
+        # two chains + an isolated pair
+        pairs = [(1, 2), (2, 3), (10, 11), (5, 4)]
+        c = union_find_clusters(pairs)
+        assert c[1] == c[2] == c[3] == 1
+        assert c[10] == c[11] == 10
+        assert c[4] == c[5] == 4  # min id is the representative
+
+    def test_transitive_merge_order_independent(self):
+        from logpipe_ray.stages.dedup import union_find_clusters
+
+        a = union_find_clusters([(1, 2), (3, 4), (2, 3)])
+        b = union_find_clusters([(2, 3), (3, 4), (1, 2)])
+        assert a == b and a[4] == 1
