@@ -95,11 +95,16 @@ def run_resumable(
     routes: dict | None = None,
     make_sequences: bool = True,
     fail_on: frozenset[str] = frozenset(),
+    full_dose: bool = False,
 ) -> list[dict[str, Any]]:
     """Process all pending fragments; returns final folded counters.
 
     ``input_paths``: list of parquet files, or a glob/dir. Fragments
-    already present in ``{out_dir}/_manifest`` are skipped (resume).
+    already present in ``{out_dir}/_manifest`` are skipped (resume) —
+    unless ``full_dose=True``, which reprocesses everything (the
+    reference's start_once_for_full_dose toggle,
+    logpipe-input-file.c:807-821: re-read from offset 0 vs append-only);
+    deterministic output names make the re-run overwrite, not duplicate.
     """
     if isinstance(input_paths, str):
         if os.path.isdir(input_paths):
@@ -111,7 +116,7 @@ def run_resumable(
     if routes is None:
         routes = default_route_table()
 
-    todo = pending_fragments(out_dir, paths)
+    todo = list(paths) if full_dose else pending_fragments(out_dir, paths)
     if todo:
         routes_ref = ray.put(routes)
 

@@ -86,3 +86,25 @@ def manifest_counters(out_dir: str) -> list[dict[str, Any]]:
             rows[key]["n_rows"] += c["n_rows"]
             rows[key]["sum_n_tok"] += c["sum_n_tok"]
     return sorted(rows.values(), key=lambda r: (r["source"], r["sink"]))
+
+
+def metrics_table(out_dir: str):
+    """Per-partition metrics as an Arrow table (the per-partition
+    metrics/lineage surface of the north rule): one row per committed
+    fragment with row count, token sum, lineage digest, path."""
+    import pyarrow as pa
+
+    entries = sorted(load_manifest(out_dir).values(), key=lambda e: e["frag_id"])
+    return pa.table(
+        {
+            "frag_id": pa.array([e["frag_id"] for e in entries], type=pa.string()),
+            "path": pa.array([e["path"] for e in entries], type=pa.string()),
+            "n_rows": pa.array([e["n_rows"] for e in entries], type=pa.int64()),
+            "sum_n_tok": pa.array(
+                [e["sum_n_tok"] for e in entries], type=pa.int64()
+            ),
+            "doc_digest": pa.array(
+                [e["doc_digest"] for e in entries], type=pa.string()
+            ),
+        }
+    )

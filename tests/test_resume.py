@@ -95,3 +95,29 @@ def test_rerun_is_noop(fragmented_input):
     assert c1 == c2
     assert files1 == files2
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_full_dose_reprocesses_without_dupes(fragmented_input):
+    """full_dose=True re-runs every fragment; deterministic file names
+    mean overwrite, not duplication (start_once_for_full_dose analog)."""
+    out = tempfile.mkdtemp(prefix="lpr_fulldose_")
+    c1 = run_resumable(fragmented_input, out, make_sequences=False)
+    files1 = sorted(glob.glob(out + "/sink=*/*.parquet"))
+    c2 = run_resumable(
+        fragmented_input, out, make_sequences=False, full_dose=True
+    )
+    files2 = sorted(glob.glob(out + "/sink=*/*.parquet"))
+    assert c1 == c2 and files1 == files2
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_metrics_table(fragmented_input):
+    from logpipe_ray.state.manifest import metrics_table
+
+    out = tempfile.mkdtemp(prefix="lpr_metrics_")
+    run_resumable(fragmented_input, out, make_sequences=False)
+    m = metrics_table(out)
+    assert m.num_rows == len(fragmented_input)
+    assert m["n_rows"].to_pylist() and sum(m["n_rows"].to_pylist()) == 6000
+    assert all(len(d) == 16 for d in m["doc_digest"].to_pylist())
+    shutil.rmtree(out, ignore_errors=True)
