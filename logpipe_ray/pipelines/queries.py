@@ -972,3 +972,88 @@ def dedup_clusters(sf_dir: str):
     from logpipe_ray.pipelines.dedup_pipeline import near_dup_clusters
 
     return near_dup_clusters(sf_dir, threshold_bp=2000)
+
+
+@query(
+    "events_pivot",
+    """SELECT user_id,
+              CAST(count(*) FILTER (event_type = 'click')    AS BIGINT) AS n_click,
+              CAST(count(*) FILTER (event_type = 'view')     AS BIGINT) AS n_view,
+              CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+              CAST(count(*) FILTER (event_type = 'error')    AS BIGINT) AS n_error,
+              CAST(count(*) FILTER (event_type = 'signup')   AS BIGINT) AS n_signup
+       FROM events GROUP BY user_id""",
+)
+def events_pivot(sf_dir: str):
+    """Pivot: per-user event-type counts as columns (conditional partial
+    aggregation inside map_batches → one small groupby)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    types = ["click", "view", "purchase", "error", "signup"]
+
+    def prep(b: pa.Table) -> pa.Table:
+        cols = {"user_id": b["user_id"]}
+        for t in types:
+            cols[f"n_{t}"] = pc.cast(pc.equal(b["event_type"], t), pa.int64())
+        return pa.table(cols)
+
+    aggs = [Sum(f"n_{t}", alias_name=f"n_{t}") for t in types]
+    return (
+        ds.map_batches(prep, batch_format="pyarrow").groupby("user_id").aggregate(*aggs)
+    )
+
+
+@query(
+    "events_median",
+    """SELECT event_type,
+              CAST(median(CAST(round(value*100) AS BIGINT)) AS DOUBLE)
+                AS median_cents
+       FROM events GROUP BY event_type""",
+)
+def events_median(sf_dir: str):
+    """Exact median per group (groupby.map_groups; interpolated halves
+    are exact in binary so the double compares bit-identically)."""
+    import numpy as np
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"event_type": b["event_type"], "cents": _cents(b["value"])})
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "median_cents": [float(np.median(g["cents"].to_numpy()))],
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(med, batch_format="pandas")
+    )
+
+
+@query(
+    "events_latest",
+    """SELECT user_id, event_id FROM (
+         SELECT user_id, event_id,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events
+       ) t WHERE rn = 1""",
+)
+def events_latest(sf_dir: str):
+    """Per-key argmax (latest event per user; rank/window-function shape)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        top = g.sort_values(["ts", "event_id"], ascending=[False, False]).iloc[0]
+        return pd.DataFrame(
+            {"user_id": [int(top["user_id"])], "event_id": [int(top["event_id"])]}
+        )
+
+    return ds.groupby("user_id").map_groups(latest, batch_format="pandas")
