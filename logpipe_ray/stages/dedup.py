@@ -185,14 +185,27 @@ def topk_jaccard_pairs(
 ) -> list[tuple[str, str, int]]:
     """Top-k (doc_a, doc_b, jaccard_bp) pairs, jaccard in basis points
     (floor(J*10000) — integer, engine-reproducible), ordered by
-    (jaccard desc, doc_a, doc_b)."""
-    ids = sorted(shingles)
+    (jaccard desc, doc_a, doc_b).
+
+    Inverted-index prefilter: J > 0 requires a shared shingle, so only
+    pairs co-occurring under some shingle are scored — identical output
+    to all-pairs, sub-quadratic when overlap is sparse (the realistic
+    corpus case; 5000 random docs: ~10^5 candidate pairs vs 1.25×10^7)."""
+    index: dict[int, list[str]] = {}
+    for doc_id in sorted(shingles):
+        for h in shingles[doc_id].tolist():
+            index.setdefault(h, []).append(doc_id)
+    candidates: set[tuple[str, str]] = set()
+    for docs in index.values():
+        if len(docs) > 1:
+            for i in range(len(docs)):
+                for j in range(i + 1, len(docs)):
+                    candidates.add((docs[i], docs[j]))
     pairs = []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            jac = jaccard(shingles[ids[i]], shingles[ids[j]])
-            if jac > 0:
-                pairs.append((ids[i], ids[j], int(jac * 10000)))
+    for a, b in candidates:
+        jac = jaccard(shingles[a], shingles[b])
+        if jac > 0:
+            pairs.append((a, b, int(jac * 10000)))
     pairs.sort(key=lambda p: (-p[2], p[0], p[1]))
     return pairs[:k]
 
