@@ -196,6 +196,38 @@ def _q_seq_sample(sf_dir: str):
     return ds.map_batches(prep, batch_format="pyarrow")
 
 
+def _q_seq_weighted_sample(sf_dir: str):
+    """Weighted sampling without replacement (A-ES / Efraimidis-Spirakis):
+    rank by key = u^(1/weight) with a deterministic per-row uniform u —
+    distributed-friendly (per-batch keys + one global top-k, no
+    coordination), weight = n_tok so long sequences are preferred."""
+    import numpy as np
+
+    from logpipe_ray.sources.sequences import synthesize_sequences
+
+    ds = synthesize_sequences(sf_dir)
+
+    def keys(b: pa.Table) -> pa.Table:
+        seq = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(b["doc_id"], r"-(?P<seq>\d+)$"), "seq"
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        m = seq % 1048573
+        u = ((m * 48271) % 1048573 + 1) / 1048574.0
+        w = b["n_tok"].to_numpy(zero_copy_only=False).astype(np.float64)
+        key = np.power(u, 1.0 / w)
+        return pa.table(
+            {"doc_id": b["doc_id"], "sample_key": pa.array(key, type=pa.float64())}
+        )
+
+    top = ds.map_batches(keys, batch_format="pyarrow").sort(
+        ["sample_key", "doc_id"], descending=[True, False]
+    ).limit(100)
+    return top.map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+
+
 def _q_seq_pack_metadata(sf_dir: str):
     """pack-metadata filter: [[system=..][server=..][filename=..][offset=..][line=..]] header."""
     return _packed_ds(sf_dir).map_batches(
@@ -249,6 +281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_pack_metadata": _q_seq_pack_metadata,
         "seq_unpack_roundtrip": _q_seq_unpack_roundtrip,
         "seq_sample": _q_seq_sample,
+        "seq_weighted_sample": _q_seq_weighted_sample,
     }
     out.update(QUERIES)
     return out
@@ -281,6 +314,13 @@ def oracle_sql() -> dict[str, str]:
              FROM sequences""",
         "seq_sample": SEQ_CTE
         + """SELECT doc_id, source, n_tok FROM sequences WHERE seq % 20 = 3""",
+        "seq_weighted_sample": SEQ_CTE
+        + """SELECT doc_id FROM (
+               SELECT doc_id,
+                      pow(((m * 48271) % 1048573 + 1) / 1048574.0,
+                          1.0 / n_tok) AS sample_key
+               FROM sequences)
+             ORDER BY sample_key DESC, doc_id LIMIT 100""",
         # distinct over the actual token arrays (rebuilt in SQL), not m:
         # distinct m upper-bounds distinct arrays (short arrays collide)
         "seq_dedup_exact": SEQ_CTE

@@ -1057,3 +1057,44 @@ def events_latest(sf_dir: str):
         )
 
     return ds.groupby("user_id").map_groups(latest, batch_format="pandas")
+
+
+@query(
+    "pushdown_filter",
+    """SELECT count(*) AS n_rows,
+              CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+       FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01'""",
+)
+def pushdown_filter(sf_dir: str):
+    """Predicate pushdown at the read: the filter expression is given to
+    read_parquet so row groups that can't match never leave storage
+    (data-induced-predicate pattern) — no post-read filter stage."""
+    from datetime import datetime
+
+    import pyarrow.compute as _pc
+    import pyarrow.dataset  # noqa: F401 — registers dataset expressions
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_shipdate"],
+        filter=(_pc.field("l_shipdate") >= datetime(1995, 1, 1)),
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "one": pa.array([1] * b.num_rows, type=pa.int64()),
+                "qty": pc.cast(b["l_quantity"], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .sum(["one", "qty"])
+    )
+    return pa.table(
+        {
+            "n_rows": pa.array([agg["sum(one)"]], type=pa.int64()),
+            "sum_qty": pa.array([agg["sum(qty)"]], type=pa.int64()),
+        }
+    )
