@@ -24,17 +24,13 @@ def _list_buffers(col) -> tuple[np.ndarray, np.ndarray]:
 def token_sums(col) -> np.ndarray:
     """Per-row sum of the token list (int64; empty list → 0)."""
     offsets, values = _list_buffers(col)
-    lengths = np.diff(offsets)
-    if len(lengths) == 0:
+    if len(offsets) <= 1:
         return np.zeros(0, dtype=np.int64)
-    # reduceat misbehaves on empty segments (returns values[idx]); mask them
-    starts = np.minimum(offsets[:-1], len(values) - 1) if len(values) else offsets[:-1]
-    sums = (
-        np.add.reduceat(values, starts)
-        if len(values)
-        else np.zeros(len(lengths), dtype=np.int64)
-    )
-    return np.where(lengths > 0, sums, 0)
+    # prefix-sum segment totals: exact for empty segments anywhere
+    # (reduceat returns values[idx] for empty segments and clamping the
+    # start indices corrupts the *preceding* segment — see ADVICE r1)
+    csum = np.concatenate([[0], np.cumsum(values, dtype=np.int64)])
+    return csum[offsets[1:]] - csum[offsets[:-1]]
 
 
 def add_tokens_sum(

@@ -44,19 +44,27 @@ def add_text_hash(
 
 
 def word_shingles(text: str, n: int = 3) -> np.ndarray:
-    """Distinct word n-gram shingles as sorted uint64 hashes."""
+    """Distinct word n-gram shingles as uint64 hashes.
+
+    Docs with fewer than ``n`` words yield an EMPTY set — matching the
+    SQL oracle's trigram semantics (range over len-n+1 positions), so
+    two identical 1-2 word docs are not reported as J=1.0 pairs by one
+    path and skipped by the other (ADVICE r1).
+    """
     words = text.split()
     if len(words) < n:
-        grams = [" ".join(words)] if words else []
-    else:
-        grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+        return np.empty(0, dtype=np.uint64)
+    grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
     hashes = {stable_u64(g) for g in grams}
     return np.fromiter(hashes, dtype=np.uint64, count=len(hashes))
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Jaccard similarity; two empty sets → 0.0 (no shared evidence —
+    keeps the LSH-verify path consistent with the inverted-index exact
+    path, where shingle-less docs never become candidates)."""
     if len(a) == 0 and len(b) == 0:
-        return 1.0
+        return 0.0
     inter = len(np.intersect1d(a, b, assume_unique=True))
     return inter / (len(a) + len(b) - inter)
 
@@ -117,7 +125,12 @@ def explode_lsh_bands(
     for doc_id, text in zip(
         batch[id_col].to_pylist(), batch[text_col].to_pylist()
     ):
-        sig = minhash_signature(word_shingles(text or "", ngram), k=k)
+        sh = word_shingles(text or "", ngram)
+        if len(sh) == 0:
+            # shingle-less docs can never verify (J=0) — and their
+            # all-max signatures would otherwise all collide in one bucket
+            continue
+        sig = minhash_signature(sh, k=k)
         for b, h in enumerate(band_keys(sig, bands)):
             ids.append(doc_id)
             band_ids.append(b)

@@ -40,6 +40,13 @@ def add_tumbling_window(
     return batch.append_column(out_col, pc.cast(win, pa.int64()))
 
 
+def cents_half_away(v: "pd.Series | np.ndarray") -> np.ndarray:
+    """value*100 rounded half-away-from-zero (duckdb round() parity);
+    np.round is banker's half-to-even and silently disagrees on .5."""
+    x = np.asarray(v, dtype=np.float64) * 100.0
+    return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+
 def add_value_cents(
     batch: pa.Table, *, value_col: str = "value", out_col: str = "value_cents"
 ) -> pa.Table:
@@ -96,13 +103,13 @@ def sessionize(
         g = g.sort_values([ts_col, "event_id"] if "event_id" in g else [ts_col])
         gaps = g[ts_col].diff().dt.total_seconds().fillna(0.0)
         session = (gaps > gap_s).cumsum()
-        cents = np.round(g[value_col] * 100.0).astype(np.int64)
+        cents = cents_half_away(g[value_col])
         out = (
             pd.DataFrame(
                 {
                     key_col: g[key_col].to_numpy(),
                     "session_id": session.to_numpy(),
-                    "value_cents": cents.to_numpy(),
+                    "value_cents": cents,
                 }
             )
             .groupby([key_col, "session_id"], as_index=False)
@@ -200,11 +207,11 @@ def cumulative_sum_by_key(
 
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([ts_col, id_col])
-        cents = np.round(g[value_col] * 100.0).astype(np.int64)
+        cents = cents_half_away(g[value_col])
         return pd.DataFrame(
             {
                 id_col: g[id_col].astype("int64").to_numpy(),
-                "running_cents": cents.cumsum().to_numpy(),
+                "running_cents": cents.cumsum(),
             }
         )
 
