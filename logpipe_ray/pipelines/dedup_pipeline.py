@@ -1,26 +1,42 @@
 """MinHash + LSH near-duplicate pipeline (the sub-quadratic scale path).
 
-Shape (ray_guide "Near-dup (MinHash-LSH)"):
+Shape (public Ray Data patterns: map_batches / groupby.map_groups /
+Dataset.join — https://docs.ray.io/en/latest/data/transforming-data.html):
 
     documents
-      → map_batches(explode_lsh_bands)      # doc → (band_id, band_hash, doc_id)
+      → map_batches(explode_lsh_bands)       # doc → (band_id, band_hash, doc_id)
       → groupby(band_id, band_hash)          # ONE shuffle of tiny rows
       → map_groups(candidate_pairs)          # pairs within each bucket
-      → dedupe pairs (groupby first)         # a pair can hit many bands
-      → verify exact Jaccard per pair        # broadcast shingle sets
-      → pairs with jaccard ≥ threshold
+      → groupby(doc_a, doc_b)                # DISTRIBUTED pair dedupe
+      → broadcast candidate-id set           # ints only — |cands| ≪ corpus
+      → map_batches filter docs → shingles   # text never leaves the cluster
+      → pairs ⋈ shingles ⋈ shingles          # distributed hash joins
+      → map_batches exact-Jaccard verify     # per-pair, inside tasks
 
-Only 24-byte band rows and id pairs ever shuffle — the text stays in
-the map stage. Candidate verification broadcasts the (tiny) shingle
-sets; at 100 TB the verify side would re-read just the candidate docs.
+Only 24-byte band rows, id pairs and candidate shingle sets ever move;
+the corpus text stays inside map stages. Nothing document-sized is
+materialized on the driver — the only driver-side values are the
+candidate-id list (broadcast via ray.put) and the final verified pairs
+(the result). Reference analog: logpipe has no dedup; this is the
+training-data extension (SURVEY.md §8.5).
+
+Two configurations:
+- ``bands < k`` (e.g. 16 bands × 8 rows): classic LSH — sub-quadratic,
+  probabilistic recall (measured vs the exact path in tests).
+- ``bands == k`` (128 single-hash bands): candidates = any shared
+  minhash; miss probability for J ≥ t is (1-t)^k ≈ 4e-13 at t=0.2 —
+  effectively full recall, so the output equals the exact all-pairs
+  threshold set and is SQL-oracle-checkable (``dedup_lsh_verified``).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
+from ray.data.aggregate import Count, Min
 
 from logpipe_ray.stages.dedup import (
     candidate_pairs_from_bucket,
@@ -33,6 +49,158 @@ PAIR_SCHEMA = pa.schema(
     [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard_bp", pa.int64())]
 )
 
+_PROC_CACHE: dict[str, object] = {}
+
+
+def _resolve(ref):
+    if isinstance(ref, ray.ObjectRef):
+        key = ref.hex()
+        if key not in _PROC_CACHE:
+            _PROC_CACHE[key] = ray.get(ref)
+        return _PROC_CACHE[key]
+    return ref
+
+
+class ShingleFilter:
+    """Keep only candidate docs; emit (doc_id, shingles-as-binary).
+
+    The candidate-id set is broadcast once (``ray.put``) and resolved at
+    most once per worker process; shingle sets are serialized as the raw
+    bytes of the sorted uint64 hash array so they survive the join
+    shuffle as a plain binary column.
+    """
+
+    def __init__(self, ids_ref, *, ngram: int = 3):
+        self.ids_ref = ids_ref
+        self.ngram = ngram
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = _resolve(self.ids_ref)  # pa.Array of int64
+        mask = pc.is_in(batch["doc_id"], value_set=ids)
+        sub = batch.filter(mask)
+        sh = [
+            np.sort(word_shingles(t or "", self.ngram)).tobytes()
+            for t in sub["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": pc.cast(sub["doc_id"], pa.int64()),
+                "sh": pa.array(sh, type=pa.binary()),
+            }
+        )
+
+
+def _score_pairs(batch: pa.Table, *, threshold_bp: int) -> pa.Table:
+    """(doc_a, doc_b, sh_a, sh_b) rows → verified pairs ≥ threshold."""
+    a_ids, b_ids, bps = [], [], []
+    for a, b, sa, sb in zip(
+        batch["doc_a"].to_pylist(),
+        batch["doc_b"].to_pylist(),
+        batch["sh_a"].to_pylist(),
+        batch["sh_b"].to_pylist(),
+    ):
+        j = jaccard(
+            np.frombuffer(sa, dtype=np.uint64), np.frombuffer(sb, dtype=np.uint64)
+        )
+        bp = int(j * 10000)
+        if bp >= threshold_bp:
+            a_ids.append(a)
+            b_ids.append(b)
+            bps.append(bp)
+    return pa.table(
+        {
+            "doc_a": pa.array(a_ids, type=pa.int64()),
+            "doc_b": pa.array(b_ids, type=pa.int64()),
+            "jaccard_bp": pa.array(bps, type=pa.int64()),
+        }
+    )
+
+
+def candidate_pairs(
+    ds: ray.data.Dataset,
+    *,
+    k: int = 128,
+    bands: int = 16,
+    ngram: int = 3,
+) -> ray.data.Dataset:
+    """documents Dataset → distinct candidate (doc_a, doc_b) pairs.
+
+    Band explode → bucket groupby → per-bucket pairs → distributed
+    pair dedupe (a near-dup pair collides in many bands). doc_ids stay
+    int64 end-to-end — pairs are oriented numerically (doc_a < doc_b).
+    """
+
+    def explode(b: pa.Table) -> pa.Table:
+        b2 = pa.table(
+            {"doc_id": pc.cast(b["doc_id"], pa.int64()), "text": b["text"]}
+        )
+        return explode_lsh_bands(b2, k=k, bands=bands, ngram=ngram)
+
+    band_rows = ds.map_batches(explode, batch_format="pyarrow")
+    bucket_pairs = band_rows.groupby(["band_id", "band_hash"]).map_groups(
+        candidate_pairs_from_bucket, batch_format="pyarrow"
+    )
+    return bucket_pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="n_bands")
+    )
+
+
+def verify_pairs(
+    ds: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    *,
+    threshold_bp: int = 2000,
+    ngram: int = 3,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Exact-Jaccard verification of candidate pairs, fully distributed.
+
+    Broadcast the candidate-id set (ints), filter the corpus to
+    candidates and compute shingle sets inside map_batches, then attach
+    both sides' shingles to each pair with two hash joins and score
+    per-pair inside tasks. The driver only ever holds ids.
+    """
+    cand_ids = pairs.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": pa.concat_arrays(
+                    [
+                        pc.cast(b["doc_a"], pa.int64()).combine_chunks(),
+                        pc.cast(b["doc_b"], pa.int64()).combine_chunks(),
+                    ]
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).unique("doc_id")
+    ids_ref = ray.put(pa.array(sorted(cand_ids), type=pa.int64()))
+
+    shingles = ds.map_batches(
+        ShingleFilter(ids_ref, ngram=ngram), batch_format="pyarrow"
+    ).materialize()  # small (candidates only); joined twice below
+
+    def _rename_sh(to: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.rename_columns(
+                [to if c == "sh" else c for c in b.column_names]
+            )
+
+        return fn
+
+    with_a = pairs.join(
+        shingles, join_type="inner", num_partitions=num_partitions,
+        on=("doc_a",), right_on=("doc_id",),
+    ).map_batches(_rename_sh("sh_a"), batch_format="pyarrow")
+    with_both = with_a.join(
+        shingles, join_type="inner", num_partitions=num_partitions,
+        on=("doc_b",), right_on=("doc_id",),
+    ).map_batches(_rename_sh("sh_b"), batch_format="pyarrow")
+    from functools import partial
+
+    return with_both.map_batches(
+        partial(_score_pairs, threshold_bp=threshold_bp), batch_format="pyarrow"
+    )
+
 
 def minhash_lsh_pairs(
     sf_dir: str,
@@ -42,76 +210,129 @@ def minhash_lsh_pairs(
     bands: int = 16,
     ngram: int = 3,
 ) -> pa.Table:
-    """Verified near-dup pairs over the documents table."""
+    """Verified near-dup pairs over the documents table, ordered by
+    (jaccard desc, doc_a, doc_b). Only the final verified pairs (the
+    result) come to the driver."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
+    pairs = candidate_pairs(ds, k=k, bands=bands, ngram=ngram).materialize()
+    if pairs.count() == 0:
+        return PAIR_SCHEMA.empty_table()
+    verified = verify_pairs(ds, pairs, threshold_bp=threshold_bp, ngram=ngram)
+    tbl = pa.Table.from_pylist(verified.take_all(), schema=PAIR_SCHEMA)
+    order = pc.sort_indices(
+        tbl,
+        sort_keys=[
+            ("jaccard_bp", "descending"),
+            ("doc_a", "ascending"),
+            ("doc_b", "ascending"),
+        ],
+    )
+    return tbl.take(order)
 
-    def explode(b: pa.Table) -> pa.Table:
-        b2 = pa.table(
+
+# --- distributed connected components --------------------------------------
+
+
+def min_label_propagation(
+    edges: ray.data.Dataset,
+    *,
+    max_iters: int = 30,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Connected components by iterated min-label propagation.
+
+    ``edges``: (doc_a, doc_b) rows. Returns (doc_id, cluster_rep) where
+    cluster_rep is the minimum id reachable from doc_id — identical to
+    union-find with min representative, but every step is a Dataset op
+    (join + groupby(Min)), so nothing graph-sized touches the driver.
+
+    Per round: every node offers its current label to each neighbor
+    (edges ⋈ labels) AND takes the label of its own label node
+    (labels ⋈ labels — pointer doubling, halving path lengths), then
+    keeps the min of its own and all offered labels. Labels decrease
+    monotonically, so an unchanged label-sum ⇒ fixpoint; with doubling
+    the rounds needed are O(log max-cluster-diameter). Labels are
+    materialized per round — they are O(|nodes in edges|), tiny next to
+    the corpus.
+    """
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        a = pc.cast(b["doc_a"], pa.int64()).combine_chunks()
+        bb = pc.cast(b["doc_b"], pa.int64()).combine_chunks()
+        return pa.table(
             {
-                "doc_id": pa.compute.cast(b["doc_id"], pa.string()),
-                "text": b["text"],
+                "src": pa.concat_arrays([a, bb]),
+                "dst": pa.concat_arrays([bb, a]),
             }
         )
-        return explode_lsh_bands(b2, k=k, bands=bands, ngram=ngram)
 
-    band_rows = ds.map_batches(explode, batch_format="pyarrow")
-    candidates = band_rows.groupby(["band_id", "band_hash"]).map_groups(
-        candidate_pairs_from_bucket, batch_format="pyarrow"
+    both = edges.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    labels = (
+        both.map_batches(
+            lambda b: pa.table({"node": b["src"], "label": b["src"]}),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
     )
-    # a near-dup pair collides in many bands — dedupe before verifying
-    seen: set[tuple[str, str]] = set()
-    for part in candidates.iter_batches(batch_format="pyarrow"):
-        for a, b in zip(part["doc_a"].to_pylist(), part["doc_b"].to_pylist()):
-            seen.add((a, b))
-
-    if not seen:
-        return PAIR_SCHEMA.empty_table()
-
-    # verify: broadcast shingle sets of candidate docs only
-    need = {d for p in seen for d in p}
-    shingles: dict[str, np.ndarray] = {}
-    for part in ds.iter_batches(batch_format="pyarrow"):
-        for doc_id, text in zip(
-            part["doc_id"].to_pylist(), part["text"].to_pylist()
-        ):
-            key = str(doc_id)
-            if key in need:
-                shingles[key] = word_shingles(text or "", ngram)
-    rows = []
-    for a, b in sorted(seen):
-        j = jaccard(shingles[a], shingles[b])
-        bp = int(j * 10000)
-        if bp >= threshold_bp:
-            rows.append((int(a), int(b), bp))
-    rows.sort(key=lambda r: (-r[2], r[0], r[1]))
-    return pa.table(
-        {
-            "doc_a": pa.array([r[0] for r in rows], type=pa.int64()),
-            "doc_b": pa.array([r[1] for r in rows], type=pa.int64()),
-            "jaccard_bp": pa.array([r[2] for r in rows], type=pa.int64()),
-        }
-    )
+    prev_sum = labels.sum("label")
+    for _ in range(max_iters):
+        msgs = both.join(
+            labels, join_type="inner", num_partitions=num_partitions,
+            on=("src",), right_on=("node",),
+        ).map_batches(
+            lambda b: pa.table({"node": b["dst"], "label": b["label"]}),
+            batch_format="pyarrow",
+        )
+        # pointer doubling: node n with label l also considers label[l]
+        hops = labels.map_batches(
+            lambda b: pa.table({"node0": b["node"], "lbl": b["label"]}),
+            batch_format="pyarrow",
+        ).join(
+            labels, join_type="inner", num_partitions=num_partitions,
+            on=("lbl",), right_on=("node",),
+        ).map_batches(
+            lambda b: pa.table({"node": b["node0"], "label": b["label"]}),
+            batch_format="pyarrow",
+        )
+        labels = (
+            labels.union(msgs)
+            .union(hops)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        cur = labels.sum("label")
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels
 
 
 def near_dup_clusters(
     sf_dir: str, *, threshold_bp: int = 2000, **lsh_kwargs
 ) -> pa.Table:
     """Cluster near-duplicates: LSH candidates → verified pairs →
-    connected components → (doc_id, cluster_rep). Docs with no near-dup
-    are omitted (they are their own singleton cluster implicitly)."""
-    from logpipe_ray.stages.dedup import union_find_clusters
-
+    distributed connected components → (doc_id, cluster_rep). Docs with
+    no near-dup are omitted (implicit singleton clusters)."""
     pairs_tbl = minhash_lsh_pairs(sf_dir, threshold_bp=threshold_bp, **lsh_kwargs)
-    pairs = list(
-        zip(pairs_tbl["doc_a"].to_pylist(), pairs_tbl["doc_b"].to_pylist())
-    )
-    clusters = union_find_clusters(pairs)
-    items = sorted(clusters.items())
+    if pairs_tbl.num_rows == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "cluster_rep": pa.array([], type=pa.int64()),
+            }
+        )
+    edges = ray.data.from_arrow(pairs_tbl.select(["doc_a", "doc_b"]))
+    labels = min_label_propagation(edges)
+    rows = sorted((r["node"], r["label"]) for r in labels.take_all())
     return pa.table(
         {
-            "doc_id": pa.array([k for k, _ in items], type=pa.int64()),
-            "cluster_rep": pa.array([v for _, v in items], type=pa.int64()),
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "cluster_rep": pa.array([r[1] for r in rows], type=pa.int64()),
         }
     )

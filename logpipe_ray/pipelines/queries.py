@@ -270,14 +270,17 @@ def join_hash(sf_dir: str):
        WHERE c_custkey IN (SELECT o_custkey FROM orders)""",
 )
 def join_semi(sf_dir: str):
-    """Semi join via broadcast key set (Bloom-filter pattern)."""
-    import pyarrow.parquet as pq
+    """Semi join via broadcast key set (Bloom-filter pattern).
 
-    from logpipe_ray.stages.joins import semi_join
+    The distinct key set of the fact side is computed DISTRIBUTEDLY
+    (per-block pre-distinct inside map_batches, then Dataset.unique's
+    shuffle) — only the already-distinct keys reach the driver for the
+    broadcast. If the distinct set were too big to broadcast, the
+    fallback is hash_join(how='semi') — see stages/joins.py."""
+    from logpipe_ray.stages.joins import distinct_keys, semi_join
 
-    keys = pc.unique(
-        pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])["o_custkey"]
-        .combine_chunks()
+    keys = distinct_keys(
+        _read(sf_dir, "orders", ["o_custkey"]), "o_custkey"
     )
     ds = _read(sf_dir, "customer", ["c_custkey"])
     return semi_join(ds, keys, key_col="c_custkey")
@@ -290,16 +293,17 @@ def join_semi(sf_dir: str):
          (SELECT o_custkey FROM orders WHERE o_totalprice >= 400000)""",
 )
 def join_anti(sf_dir: str):
-    """Customers with no large order (anti join via broadcast key set)."""
-    import pyarrow.parquet as pq
+    """Customers with no large order (anti join via broadcast key set);
+    the filter + distinct of the fact side runs distributedly."""
+    from logpipe_ray.stages.joins import distinct_keys, semi_join
 
-    from logpipe_ray.stages.joins import semi_join
-
-    orders = pq.read_table(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    big = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda b: b.filter(pc.greater_equal(b["o_totalprice"], 400000.0)).select(
+            ["o_custkey"]
+        ),
+        batch_format="pyarrow",
     )
-    big = orders.filter(pc.greater_equal(orders["o_totalprice"], 400000.0))
-    keys = pc.unique(big["o_custkey"].combine_chunks())
+    keys = distinct_keys(big, "o_custkey")
     ds = _read(sf_dir, "customer", ["c_custkey"])
     return semi_join(ds, keys, key_col="c_custkey", anti=True)
 
@@ -549,6 +553,41 @@ def dedup_minhash_lsh(sf_dir: str):
     return minhash_lsh_pairs(sf_dir, threshold_bp=2000)
 
 
+_EXACT_PAIRS_CTE = r"""WITH RECURSIVE w AS (
+     SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
+   ), sh AS (
+     SELECT doc_id,
+            list_distinct(list_transform(range(1, length(ws) - 1),
+                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+     FROM w
+   ), pairs AS (
+     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(length(list_intersect(a.s, b.s)) AS DOUBLE)
+              / length(list_distinct(list_concat(a.s, b.s))) AS j
+     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+     WHERE length(a.s) > 0 AND length(b.s) > 0
+   ), verified AS (
+     SELECT doc_a, doc_b, CAST(floor(j*10000) AS BIGINT) AS jaccard_bp
+     FROM pairs WHERE CAST(floor(j*10000) AS BIGINT) >= 2000
+   )"""
+
+
+@query(
+    "dedup_lsh_verified",
+    _EXACT_PAIRS_CTE + "\nSELECT doc_a, doc_b, jaccard_bp FROM verified",
+)
+def dedup_lsh_verified(sf_dir: str):
+    """The LSH pipeline in its full-recall configuration (bands == k:
+    128 single-hash bands — a pair is a candidate iff it shares any
+    minhash; miss probability for J ≥ 0.2 is (1-0.2)^128 ≈ 4e-13), so
+    the verified output equals the exact all-pairs threshold set and is
+    hash-checked against the SQL oracle. Same distributed machinery as
+    dedup_minhash_lsh."""
+    from logpipe_ray.pipelines.dedup_pipeline import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(sf_dir, threshold_bp=2000, k=128, bands=128)
+
+
 @query("dedup_simhash", None)  # 63-bit sketch — verified vs reimpl in tests
 def dedup_simhash(sf_dir: str):
     from logpipe_ray.stages.dedup import add_simhash
@@ -618,13 +657,13 @@ def embed_knn(sf_dir: str):
        SELECT CAST(rank AS BIGINT) AS rank, vec_a, vec_b FROM r WHERE rank <= 20""",
 )
 def embed_topk_pairs(sf_dir: str):
-    """Embedding near-dup: top-20 most-cosine-similar distinct pairs."""
-    import pyarrow.parquet as pq
+    """Embedding near-dup: top-20 most-cosine-similar distinct pairs,
+    via distributed chunk-pair block matmuls (no driver gram matrix —
+    each task scores one chunk_rows² block; only top-k partials move)."""
+    from logpipe_ray.stages.similarity import topk_cosine_pairs_distributed
 
-    from logpipe_ray.stages.similarity import topk_cosine_pairs
-
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return topk_cosine_pairs(t, k=20)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return topk_cosine_pairs_distributed(ds, k=20, chunk_rows=2048)
 
 
 @query("embed_ann_lsh", None)  # ANN recall < 1 by design — measured in tests
@@ -809,14 +848,29 @@ def seq_dedup_exact(sf_dir: str):
 
     hashed = ds.map_batches(hash_tokens, batch_format="pyarrow")
     groups = hashed.groupby("tokens_hash").aggregate(Count(alias_name="n"))
+    # fold the three corpus stats distributedly — one row per unique
+    # sequence never leaves the cluster (only 3 int64 partials per block)
     import pandas as pd
 
-    df = groups.to_pandas()
+    def fold(b: pa.Table) -> pa.Table:
+        n = b["n"]
+        total = pc.sum(n).as_py() or 0
+        return pa.table(
+            {
+                "n_rows": pa.array([total], type=pa.int64()),
+                "n_unique_sequences": pa.array([b.num_rows], type=pa.int64()),
+                "n_dupe_rows": pa.array([total - b.num_rows], type=pa.int64()),
+            }
+        )
+
+    agg = groups.map_batches(fold, batch_format="pyarrow").sum(
+        ["n_rows", "n_unique_sequences", "n_dupe_rows"]
+    )
     return pd.DataFrame(
         {
-            "n_rows": [int(df["n"].sum())],
-            "n_unique_sequences": [len(df)],
-            "n_dupe_rows": [int((df["n"] - 1).sum())],
+            "n_rows": [int(agg["sum(n_rows)"])],
+            "n_unique_sequences": [int(agg["sum(n_unique_sequences)"])],
+            "n_dupe_rows": [int(agg["sum(n_dupe_rows)"])],
         }
     )
 
@@ -966,12 +1020,30 @@ def agg_having(sf_dir: str):
     )
 
 
-@query("dedup_clusters", None)  # LSH-based — component property tested
+@query(
+    "dedup_clusters",
+    _EXACT_PAIRS_CTE
+    + """,
+   edges AS (
+     SELECT doc_a AS src, doc_b AS dst FROM verified
+     UNION SELECT doc_b, doc_a FROM verified
+   ), reach AS (
+     SELECT src AS n, dst AS m FROM edges
+     UNION
+     SELECT r.n, e.dst FROM reach r JOIN edges e ON r.m = e.src
+   )
+   SELECT n AS doc_id, min(m) AS cluster_rep FROM reach GROUP BY n""",
+)
 def dedup_clusters(sf_dir: str):
-    """Near-dup clusters: verified LSH pairs → union-find components."""
+    """Near-dup clusters via DISTRIBUTED min-label propagation over the
+    verified LSH pair set (full-recall bands==k config, so the SQL
+    transitive-closure oracle enumerates the same components).
+    cluster_rep = min doc_id reachable (min(m) over reach includes the
+    node itself through any round-trip path; every node in an edge has
+    one)."""
     from logpipe_ray.pipelines.dedup_pipeline import near_dup_clusters
 
-    return near_dup_clusters(sf_dir, threshold_bp=2000)
+    return near_dup_clusters(sf_dir, threshold_bp=2000, k=128, bands=128)
 
 
 @query(
@@ -1045,18 +1117,60 @@ def events_median(sf_dir: str):
        ) t WHERE rn = 1""",
 )
 def events_latest(sf_dir: str):
-    """Per-key argmax (latest event per user; rank/window-function shape)."""
-    import pandas as pd
+    """Per-key argmax (latest event per user; rank/window-function shape).
+
+    Vectorized per-batch partial argmax (one lexsort keeps the max-(ts,
+    event_id) row per user per batch — ≤ n_users rows survive each
+    block), then the same vectorized kernel folds the partials in a
+    tiny final groupby. No per-key Python round-trips."""
+    import numpy as np
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
-    def latest(g: pd.DataFrame) -> pd.DataFrame:
-        top = g.sort_values(["ts", "event_id"], ascending=[False, False]).iloc[0]
-        return pd.DataFrame(
-            {"user_id": [int(top["user_id"])], "event_id": [int(top["event_id"])]}
+    def argmax_per_user(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        if len(u) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "ts": pa.array([], type=pa.int64()),
+                    "event_id": pa.array([], type=pa.int64()),
+                }
+            )
+        order = np.lexsort((eid, ts, u))  # user asc, ts asc, id asc
+        us = u[order]
+        last = np.nonzero(np.r_[us[1:] != us[:-1], True])[0]  # last per user
+        keep = order[last]
+        return pa.table(
+            {
+                "user_id": pa.array(u[keep], type=pa.int64()),
+                "ts": pa.array(ts[keep], type=pa.int64()),
+                "event_id": pa.array(eid[keep], type=pa.int64()),
+            }
         )
 
-    return ds.groupby("user_id").map_groups(latest, batch_format="pandas")
+    partials = ds.map_batches(argmax_per_user, batch_format="pyarrow")
+    # fold partials with a custom distributed aggregate: the hash shuffle
+    # moves ≤ n_users rows per block, accumulate_block is vectorized per
+    # (key, block), merges compare two (ts, id) tuples — no per-key pandas
+    from ray.data.aggregate import AggregateFn
+
+    def acc_block(a, blk: pa.Table):
+        ts = blk["ts"].to_numpy(zero_copy_only=False)
+        eid = blk["event_id"].to_numpy(zero_copy_only=False)
+        i = int(np.lexsort((eid, ts))[-1])
+        return max(a, (int(ts[i]), int(eid[i])))
+
+    latest = AggregateFn(
+        init=lambda k: (-(1 << 62), -(1 << 62)),
+        accumulate_block=acc_block,
+        merge=lambda a, b: max(a, b),
+        finalize=lambda a: a[1],
+        name="event_id",
+    )
+    return partials.groupby("user_id").aggregate(latest)
 
 
 @query(

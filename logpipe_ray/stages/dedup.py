@@ -35,10 +35,37 @@ def stable_u64(s: str) -> int:
 def add_text_hash(
     batch: pa.Table, *, text_col: str = "text", out_col: str = "text_hash"
 ) -> pa.Table:
-    """64-bit content hash column (int64, masked to 63 bits for Arrow)."""
+    """64-bit content hash column (int64, masked to 63 bits for Arrow).
+
+    Hashes the string column's utf-8 buffer slices through memoryviews
+    (offsets straight from the Arrow value buffer) — no per-row Python
+    str materialization / re-encode. blake2b stays (content hash across
+    workers; Python hash() is process-salted)."""
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count == 0 and isinstance(col, pa.StringArray):
+        buf_offsets, buf_data = col.buffers()[1], col.buffers()[2]
+        offsets = np.frombuffer(buf_offsets, dtype=np.int32, count=len(col) + 1,
+                                offset=col.offset * 4)
+        data = memoryview(buf_data)
+        h = hashlib.blake2b
+        vals = np.fromiter(
+            (
+                int.from_bytes(
+                    h(data[offsets[i] : offsets[i + 1]], digest_size=8).digest(),
+                    "big",
+                )
+                >> 1
+                for i in range(len(col))
+            ),
+            dtype=np.int64,
+            count=len(col),
+        )
+        return batch.append_column(out_col, pa.array(vals, type=pa.int64()))
     vals = [
         (stable_u64(t) >> 1) if t is not None else None
-        for t in batch[text_col].to_pylist()
+        for t in col.to_pylist()
     ]
     return batch.append_column(out_col, pa.array(vals, type=pa.int64()))
 

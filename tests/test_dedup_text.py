@@ -241,3 +241,29 @@ class TestUnionFind:
         a = union_find_clusters([(1, 2), (3, 4), (2, 3)])
         b = union_find_clusters([(2, 3), (3, 4), (1, 2)])
         assert a == b and a[4] == 1
+
+
+class TestMinLabelPropagation:
+    def test_matches_union_find_on_random_graph(self):
+        """Distributed connected components == driver union-find."""
+        import ray.data
+
+        from logpipe_ray.pipelines.dedup_pipeline import min_label_propagation
+        from logpipe_ray.stages.dedup import union_find_clusters
+
+        rng = np.random.RandomState(3)
+        # long chains force multiple propagation rounds (diameter > 1)
+        edges = [(i, i + 1) for i in range(0, 40)]  # one 41-node chain
+        edges += [(100 + a, 100 + b) for a, b in zip(rng.randint(0, 30, 50), rng.randint(0, 30, 50)) if a != b]
+        edges += [(500, 501), (600, 601), (601, 602)]
+        expect = union_find_clusters(edges)
+
+        tbl = pa.table(
+            {
+                "doc_a": pa.array([e[0] for e in edges], type=pa.int64()),
+                "doc_b": pa.array([e[1] for e in edges], type=pa.int64()),
+            }
+        )
+        labels = min_label_propagation(ray.data.from_arrow(tbl), num_partitions=4)
+        got = {r["node"]: r["label"] for r in labels.take_all()}
+        assert got == expect
