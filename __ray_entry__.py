@@ -199,15 +199,17 @@ def _q_seq_sample(sf_dir: str):
 def _q_seq_weighted_sample(sf_dir: str):
     """Weighted sampling without replacement (A-ES / Efraimidis-Spirakis):
     rank by key = u^(1/weight) with a deterministic per-row uniform u —
-    distributed-friendly (per-batch keys + one global top-k, no
-    coordination), weight = n_tok so long sequences are preferred."""
+    weight = n_tok so long sequences are preferred. Per-batch top-k
+    PARTIALS (argpartition, ≤k rows survive each block) feed one tiny
+    final sort — no all-to-all sort of the full keyed corpus."""
     import numpy as np
 
     from logpipe_ray.sources.sequences import synthesize_sequences
 
+    K = 100
     ds = synthesize_sequences(sf_dir)
 
-    def keys(b: pa.Table) -> pa.Table:
+    def topk_partial(b: pa.Table) -> pa.Table:
         seq = pc.cast(
             pc.struct_field(
                 pc.extract_regex(b["doc_id"], r"-(?P<seq>\d+)$"), "seq"
@@ -218,13 +220,24 @@ def _q_seq_weighted_sample(sf_dir: str):
         u = ((m * 48271) % 1048573 + 1) / 1048574.0
         w = b["n_tok"].to_numpy(zero_copy_only=False).astype(np.float64)
         key = np.power(u, 1.0 / w)
-        return pa.table(
-            {"doc_id": b["doc_id"], "sample_key": pa.array(key, type=pa.float64())}
+        # exact top-K under the GLOBAL order (key desc, doc_id asc):
+        # m-collisions produce exactly-equal keys, so boundary ties must
+        # be broken by doc_id here too or a tied row could be dropped
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -key))[:K]
+        tbl = pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "sample_key": pa.array(key, type=pa.float64()),
+            }
         )
+        return tbl.take(pa.array(np.sort(order)))
 
-    top = ds.map_batches(keys, batch_format="pyarrow").sort(
-        ["sample_key", "doc_id"], descending=[True, False]
-    ).limit(100)
+    top = (
+        ds.map_batches(topk_partial, batch_format="pyarrow")
+        .sort(["sample_key", "doc_id"], descending=[True, False])
+        .limit(K)
+    )
     return top.map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
 
 

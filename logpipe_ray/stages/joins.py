@@ -112,6 +112,21 @@ def semi_join(
     )
 
 
+def distinct_keys(ds: ray.data.Dataset, key_col: str) -> pa.Array:
+    """Distributed distinct of one key column, for a broadcast semi/anti
+    join: per-block pre-distinct inside map_batches (so only already-
+    unique values enter the shuffle), then ``Dataset.unique``. The
+    driver receives exactly the distinct set — use only when that set
+    is broadcastable (dimension-key cardinality); otherwise use
+    ``hash_join`` in semi mode."""
+    pre = ds.map_batches(
+        lambda b: pa.table({key_col: pc.unique(b[key_col].combine_chunks())}),
+        batch_format="pyarrow",
+    )
+    vals = pre.unique(key_col)
+    return pa.array(sorted(vals))
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

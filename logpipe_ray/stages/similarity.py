@@ -183,6 +183,154 @@ def ann_knn_bucketed(
     )
 
 
+def _pair_topk_from_sims(
+    sims: np.ndarray, ids_a: np.ndarray, ids_b: np.ndarray, k: int, *, triu: bool
+) -> list[tuple[float, int, int]]:
+    """Top-k (cosine, min_id, max_id) entries of one chunk-pair sim block."""
+    if triu:
+        iu = np.triu_indices(sims.shape[0], k=1)
+        vals, ai, bi = sims[iu], iu[0], iu[1]
+    else:
+        vals = sims.ravel()
+        ai, bi = np.divmod(np.arange(vals.size), sims.shape[1])
+    if vals.size == 0:
+        return []
+    take = min(k, vals.size)
+    part = np.argpartition(-vals, take - 1)[:take]
+    # tie-safe: duplicate vectors give exactly-equal cosines; include ALL
+    # entries tied with the k-th value, then order by (cos desc, a, b)
+    # so the id tie-break matches the global (and oracle) ordering
+    kth = vals[part].min()
+    cand = np.nonzero(vals >= kth)[0]
+    rows = []
+    for o in cand:
+        a, b = int(ids_a[ai[o]]), int(ids_b[bi[o]])
+        lo, hi = (a, b) if a <= b else (b, a)
+        rows.append((float(vals[o]), lo, hi))
+    rows.sort(key=lambda r: (-r[0], r[1], r[2]))
+    return rows[:k]
+
+
+class ChunkPairScorer:
+    """Actor-pool stage scoring one chunk-pair work item per row:
+    loads both chunk files (per-actor cache — each chunk participates in
+    C tasks, read once per actor), matmuls, emits the pair-local top-k.
+    The full n×n gram matrix never exists anywhere; each task holds one
+    chunk_rows × chunk_rows block."""
+
+    def __init__(self, chunk_dir: str, *, k: int, id_col: str, vec_col: str):
+        self.chunk_dir = chunk_dir
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self._cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+    def _load(self, name: str) -> tuple[np.ndarray, np.ndarray]:
+        if name not in self._cache:
+            import os
+
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(os.path.join(self.chunk_dir, name))
+            self._cache[name] = (
+                t[self.id_col].to_numpy(zero_copy_only=False),
+                _normalize(_matrix(t[self.vec_col])),
+            )
+        return self._cache[name]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: list[tuple[float, int, int]] = []
+        for fi, fj in zip(batch["fi"].to_pylist(), batch["fj"].to_pylist()):
+            ids_a, mat_a = self._load(fi)
+            if fi == fj:
+                sims = mat_a @ mat_a.T
+                out.extend(
+                    _pair_topk_from_sims(sims, ids_a, ids_a, self.k, triu=True)
+                )
+            else:
+                ids_b, mat_b = self._load(fj)
+                sims = mat_a @ mat_b.T
+                out.extend(
+                    _pair_topk_from_sims(sims, ids_a, ids_b, self.k, triu=False)
+                )
+        return pa.table(
+            {
+                "cosine": pa.array([r[0] for r in out], type=pa.float64()),
+                "vec_a": pa.array([r[1] for r in out], type=pa.int64()),
+                "vec_b": pa.array([r[2] for r in out], type=pa.int64()),
+            }
+        )
+
+
+def topk_cosine_pairs_distributed(
+    ds: ray.data.Dataset,
+    *,
+    k: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    chunk_rows: int = 4096,
+    tmp_dir: str | None = None,
+) -> pa.Table:
+    """Embedding near-dup at scale: global top-k most-similar distinct
+    pairs via DISTRIBUTED chunk-pair block matmuls.
+
+    Exact (not LSH): chunk the corpus into ``chunk_rows``-row Parquet
+    chunks on shared storage (idempotent names — the resumable-fragment
+    pattern), build the C(C+1)/2 chunk-pair work list as a Dataset, and
+    score each pair block inside an actor-pool ``map_batches`` (per-actor
+    chunk cache). Only per-task top-k partials (k rows each) leave the
+    tasks; the global merge sorts k × n_tasks rows. Because chunks
+    partition the ids, every unordered pair is scored exactly once.
+    """
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from logpipe_ray.util import pool_size
+
+    if tmp_dir is None:
+        tmp_dir = tempfile.mkdtemp(prefix="lpr_embchunks_")
+    os.makedirs(tmp_dir, exist_ok=True)
+
+    def write_chunk(b: pa.Table) -> pa.Table:
+        ids = b[id_col]
+        tag = int(pa.compute.min(ids).as_py())
+        path = os.path.join(tmp_dir, f"chunk-{tag:014d}.parquet")
+        pq.write_table(b.select([id_col, vec_col]), path, compression="zstd")
+        return pa.table({"chunk": pa.array([tag], type=pa.int64())})
+
+    ds.map_batches(
+        write_chunk, batch_format="pyarrow", batch_size=chunk_rows
+    ).materialize()
+    chunks = sorted(n for n in os.listdir(tmp_dir) if n.startswith("chunk-"))
+    items = [
+        {"fi": chunks[i], "fj": chunks[j]}
+        for i in range(len(chunks))
+        for j in range(i, len(chunks))
+    ]
+    partials = ray.data.from_items(items).map_batches(
+        ChunkPairScorer(tmp_dir, k=k, id_col=id_col, vec_col=vec_col),
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=pool_size(per_actor_cpus=1.0, cap=max(1, len(items))),
+    )
+    rows = sorted(
+        (
+            (r["cosine"], r["vec_a"], r["vec_b"])
+            for r in partials.take_all()
+        ),
+        key=lambda r: (-r[0], r[1], r[2]),
+    )[:k]
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(rows) + 1), type=pa.int64()),
+            "vec_a": pa.array([r[1] for r in rows], type=pa.int64()),
+            "vec_b": pa.array([r[2] for r in rows], type=pa.int64()),
+        }
+    )
+
+
 def topk_cosine_pairs(
     table: pa.Table,
     *,
@@ -192,8 +340,8 @@ def topk_cosine_pairs(
 ) -> pa.Table:
     """Embedding near-dup: global top-k most-similar distinct pairs
     (vec_a < vec_b), ranked (rank, vec_a, vec_b). Small-corpus exact
-    path (n ≤ ~10^4: one gram matrix); the LSH bucketing above is the
-    scale path."""
+    path (n ≤ ~10^4: one gram matrix); see
+    :func:`topk_cosine_pairs_distributed` for the scale path."""
     ids = np.asarray(table[id_col].to_pylist())
     mat = _normalize(_matrix(table[vec_col]))
     sims = mat @ mat.T
