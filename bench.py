@@ -71,9 +71,12 @@ def run_flagship_bench(seq_dir: str, out_dir: str) -> dict:
     timings = {}
     t0 = time.time()
     ds = ray.data.read_parquet(seq_dir)
-    counters = run_fused(ds, out_dir, batch_size=16384).to_pandas()
+    counters = run_fused(ds, out_dir).to_pandas()
     timings["total"] = time.time() - t0
     timings["n_groups"] = len(counters)
+    import glob as _globf
+
+    timings["n_out_files"] = len(_globf.glob(f"{out_dir}/sink=*/part-*.parquet"))
     del ds
     gc.collect()
 
@@ -188,6 +191,7 @@ def main() -> None:
         "num_cpus": NUM_CPUS,
         "rows": n_rows,
         "sequences_per_sec": round(n_rows / headline, 1),
+        "n_out_files": timings.get("n_out_files", 0),
     }
     ray.shutdown()
     print(json.dumps(result))

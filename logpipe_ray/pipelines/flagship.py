@@ -134,7 +134,7 @@ def run_flagship(
         )
         return route_and_count(enriched, out_dir, batch_size=batch_size)
     seq = synthesize_sequences(sf_dir, expand=expand, batch_size=batch_size)
-    return run_fused(seq, out_dir, batch_size=batch_size)
+    return run_fused(seq, out_dir)  # writer-sized batches (see run_fused)
 
 
 def read_routed(out_dir: str, *, columns: list[str] | None = None) -> ray.data.Dataset:
@@ -199,13 +199,18 @@ def run_fused(
     out_dir: str,
     *,
     routes: dict | None = None,
-    batch_size: int = 16384,
+    batch_size: int = 131072,
 ) -> ray.data.Dataset:
     """Single-operator flagship: parse+enrich+routed-write composed into
     ONE map_batches UDF so the whole hot path is one task per block — no
     operator boundaries, no intermediate blocks in the object store
     (measured ~17% faster than the three-stage chain; BASELINE.md).
     Semantically identical to enrich_pipeline → route_and_count.
+
+    ``batch_size`` doubles as the output-file size lever: one part file
+    per sink per batch, so 128k rows × ~1 KB/row ≈ 130 MB Arrow ≈ 35 MB
+    zstd per hot-sink file (vs ~3 MB files at the old 16k batches — the
+    small-files killer), bounded above by the writer's ``roll_bytes``.
     """
     from functools import partial
 

@@ -61,6 +61,7 @@ def write_routed_batch(
     compression_level: int = 1,
     drop_cols: tuple[str, ...] | None = None,
     file_tag: str | None = None,
+    roll_bytes: int = 256 << 20,
 ) -> pa.Table:
     """Write one batch fanned out to ``{out_dir}/sink=<sink>/part-*.parquet``;
     return the batch's counter partials (source, sink, n_rows, sum_n_tok).
@@ -68,6 +69,15 @@ def write_routed_batch(
     The ``sink`` column is dropped from the data files by default — the
     hive path is authoritative (reading the directory re-derives it),
     exactly like the reference encodes the route in the output filename.
+
+    **Size-targeted rotation** (the rotate_size analog of
+    logpipe-output-file.c:160-205): a sink's slice larger than
+    ``roll_bytes`` (in-memory Arrow bytes — an upper bound on the file)
+    is split into rolled part files, so no output file exceeds the
+    target no matter how large the writer batch is. The matching lower
+    bound comes from the writer stage's batch size (``run_fused`` feeds
+    this stage ~128k-row batches) — together: few, bounded-size files
+    instead of one small file per 16k-row batch per sink.
     """
     if drop_cols is None:
         drop_cols = (sink_col,)
@@ -85,13 +95,25 @@ def write_routed_batch(
                 f"{ids[0].as_py()}|{ids[-1].as_py()}|{sub.num_rows}".encode()
             ).hexdigest()[:16]
         data = sub.drop_columns(list(drop_cols)) if drop_cols else sub
-        pq.write_table(
-            data,
-            os.path.join(sink_dir, f"part-{tag}.parquet"),
-            compression=compression,
-            compression_level=compression_level,
-            use_dictionary=False,
-        )
+        n_slices = max(1, -(-data.nbytes // roll_bytes))  # ceil
+        rows_per = -(-data.num_rows // n_slices)
+        for si in range(n_slices):
+            part = data.slice(si * rows_per, rows_per)
+            if part.num_rows == 0:
+                continue
+            name = (
+                f"part-{tag}.parquet"
+                if n_slices == 1
+                else f"part-{tag}-r{si:04d}.parquet"
+            )
+            pq.write_table(
+                part,
+                os.path.join(sink_dir, name),
+                compression=compression,
+                compression_level=compression_level,
+                use_dictionary=False,
+                row_group_size=65536,
+            )
         # counter partials for this (sink, source) pair set
         g = (
             sub.select([source_col, n_tok_col])

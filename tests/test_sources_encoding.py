@@ -46,6 +46,48 @@ class TestLineSplit:
         )
         assert rows == [("x.log", 1, "l1"), ("x.log", 2, "l2")]
 
+    def test_file_larger_than_chunk(self):
+        """Cross-chunk line reassembly: a file much bigger than the read
+        chunk, with variable-length lines (some longer than a chunk) and
+        no trailing newline — counters and contents must be identical to
+        the whole-file split."""
+        d = tempfile.mkdtemp(prefix="lpr_txtbig_")
+        import random
+
+        rnd = random.Random(7)
+        lines = []
+        for i in range(500):
+            n = rnd.choice([3, 40, 90, 700])  # some lines > chunk_bytes
+            lines.append(f"line{i:04d}:" + "x" * n)
+        body = "\n".join(lines)  # no trailing newline
+        with open(os.path.join(d, "big.log"), "w") as f:
+            f.write(body)
+        with open(os.path.join(d, "small.log"), "w") as f:
+            f.write("a\nb\n")
+
+        ds = read_log_lines(d, include=["*.log"], chunk_bytes=256)
+        got = sorted(
+            (r["source"], r["line_no"], r["byte_offset"], r["line"])
+            for r in ds.take_all()
+        )
+        # expected from the whole-file splitter
+        t = pa.table(
+            {"path": [os.path.join(d, "big.log")], "bytes": [body.encode()]}
+        )
+        exp_big = split_file_to_lines(t)
+        expect = sorted(
+            [
+                ("big.log", ln, off, line)
+                for ln, off, line in zip(
+                    exp_big["line_no"].to_pylist(),
+                    exp_big["byte_offset"].to_pylist(),
+                    exp_big["line"].to_pylist(),
+                )
+            ]
+            + [("small.log", 1, 0, "a"), ("small.log", 2, 2, "b")]
+        )
+        assert got == expect
+
 
 class TestEncoding:
     def test_gb18030_roundtrip(self):
