@@ -374,7 +374,31 @@ def token_count(sf_dir: str):
     )
 
 
-@query("lang_id", None)  # heuristic — rows-only driver check; accuracy in tests
+@query(
+    "lang_id",
+    """WITH t AS (
+         SELECT doc_id, lang, text,
+                list_transform(regexp_extract_all(text, '[a-zA-Z]+'),
+                               w -> lower(w)) AS ws
+         FROM documents
+       ), h AS (
+         SELECT doc_id, lang,
+           regexp_matches(text, '[一-鿿]') AS cjk,
+           length(list_filter(ws, w -> w IN ('der','die','das','und','ist','von','zu','mit','den','ein'))) AS de,
+           length(list_filter(ws, w -> w IN ('the','and','of','to','a','in','is','that','it','for'))) AS en,
+           length(list_filter(ws, w -> w IN ('el','la','los','y','de','un','una','es','que','por'))) AS es,
+           length(list_filter(ws, w -> w IN ('le','la','les','et','de','un','une','est','que','pour'))) AS fr
+         FROM t
+       )
+       SELECT doc_id, lang,
+         CASE WHEN cjk THEN 'zh'
+              WHEN greatest(de,en,es,fr) = 0 THEN 'und'
+              WHEN de = greatest(de,en,es,fr) THEN 'de'
+              WHEN en = greatest(de,en,es,fr) THEN 'en'
+              WHEN es = greatest(de,en,es,fr) THEN 'es'
+              ELSE 'fr' END AS lang_pred
+       FROM h""",
+)
 def lang_id(sf_dir: str):
     from logpipe_ray.stages.text_analysis import LangId
 
@@ -386,7 +410,17 @@ def lang_id(sf_dir: str):
     )
 
 
-@query("doc_fingerprint", None)  # bigint rolling hash — verified vs reimpl in tests
+@query(
+    "doc_fingerprint",
+    """SELECT doc_id,
+              CASE WHEN length(text) = 0 THEN 0 ELSE
+                list_reduce(
+                  list_transform(range(1, length(text)+1),
+                                 i -> CAST(unicode(text[i]) AS BIGINT)),
+                  (acc, x) -> (acc * 4294967296 + x) % 2147483647)
+              END AS fingerprint
+       FROM documents""",
+)
 def doc_fingerprint(sf_dir: str):
     from logpipe_ray.stages.text_analysis import fingerprint_batch
 
@@ -397,7 +431,35 @@ def doc_fingerprint(sf_dir: str):
     )
 
 
-@query("quality_score", None)  # float composite — component ints oracled above
+@query(
+    "quality_score",
+    # mirrors stages/text_analysis.quality_score_batch op-for-op: every
+    # step is a single correctly-rounded IEEE double op in both engines,
+    # so the composite is bit-identical (components are the text_stats
+    # regex counts, themselves oracle-green)
+    r"""WITH s AS (
+         SELECT doc_id,
+                CAST(length(text) AS BIGINT) AS n_chars,
+                CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+                CAST(length(regexp_extract_all(text, '[.!?,;:]')) AS BIGINT) AS n_punct,
+                CAST(length(regexp_extract_all(text, '\b(?:the|and|of|a|to|in|is)\b'))
+                     AS BIGINT) AS n_stop
+         FROM documents
+       ), f AS (
+         SELECT doc_id,
+           least(greatest(n_chars/500.0, 0.0), 1.0) AS ls,
+           1.0 - least(greatest(
+             (CASE WHEN n_chars > 0
+                   THEN CAST(n_punct AS DOUBLE)/greatest(n_chars, 1)
+                   ELSE 0.0 END) * 10.0, 0.0), 1.0) AS ps,
+           least(greatest(
+             (CASE WHEN n_words > 0
+                   THEN CAST(n_stop AS DOUBLE)/greatest(n_words, 1)
+                   ELSE 0.0 END) * 4.0, 0.0), 1.0) AS ss
+         FROM s
+       )
+       SELECT doc_id, (ls + ps + ss)/3.0 AS quality_score FROM f""",
+)
 def quality_score(sf_dir: str):
     from logpipe_ray.stages.text_analysis import quality_score_batch
 
@@ -772,6 +834,93 @@ def log_lines_source(sf_dir: str):
         )
 
     return ds.map_batches(prep, batch_format="pyarrow")
+
+
+@query(
+    "log_lines_tail",
+    # identical oracle to log_lines_source: two incremental tail reads
+    # over a growing directory must union to exactly the full-read rows
+    """SELECT source || '.log' AS source,
+              CAST(row_number() OVER w AS BIGINT) AS line_no,
+              CAST(sum(octet_length(encode(text)) + 1) OVER w
+                   - (octet_length(encode(text)) + 1) AS BIGINT) AS byte_offset,
+              CAST(length(text) AS BIGINT) AS n_chars
+       FROM documents
+       WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING)""",
+)
+def log_lines_tail(sf_dir: str):
+    """Streaming-source skeleton end-to-end: write half of every log,
+    tail-read + commit, append the rest (plus an unterminated partial
+    line that must NOT be consumed), tail-read again — the two
+    increments together must equal the one-shot full read, with line
+    numbers and byte offsets continuing exactly across runs."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from logpipe_ray.sources.stream import DirectoryTailSource
+
+    d = tempfile.mkdtemp(prefix="lpr_tail_")
+    t = (
+        pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+        ).sort_by("doc_id")
+    )
+    by_src: dict[str, list[str]] = {}
+    for src, text in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+        by_src.setdefault(src, []).append(text)
+
+    src_obj = DirectoryTailSource(
+        d, os.path.join(d, "_state"), include=["*.log"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["source"],
+                "line_no": b["line_no"],
+                "byte_offset": b["byte_offset"],
+                "n_chars": pc.cast(pc.utf8_length(b["line"]), pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("line_no", pa.int64()),
+            ("byte_offset", pa.int64()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+
+    def collect(ds) -> pa.Table:
+        return pa.Table.from_pylist(
+            ds.map_batches(prep, batch_format="pyarrow").take_all(),
+            schema=out_schema,
+        )
+
+    # run 1: first half of every file (+ a partial line with no newline)
+    for src, lines in by_src.items():
+        half = (len(lines) + 1) // 2
+        with open(os.path.join(d, f"{src}.log"), "w") as f:
+            f.write("\n".join(lines[:half]) + "\n")
+            f.write(lines[half][:3] if len(lines) > half else "")
+    part1 = collect(src_obj.read())
+    src_obj.commit()
+    # run 2: complete the partial line + append the rest
+    for src, lines in by_src.items():
+        half = (len(lines) + 1) // 2
+        with open(os.path.join(d, f"{src}.log"), "a") as f:
+            if len(lines) > half:
+                f.write(lines[half][3:] + "\n")
+                rest = lines[half + 1 :]
+                if rest:
+                    f.write("\n".join(rest) + "\n")
+    part2 = collect(src_obj.read())
+    src_obj.commit()
+    return pa.concat_tables([part1, part2])
 
 
 @query(

@@ -160,15 +160,31 @@ def ann_knn_bucketed(
     *,
     k: int = 5,
     n_planes: int = 6,
+    multiprobe: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> ray.data.Dataset:
     """ANN: only corpus rows whose LSH bucket matches some query bucket
     are scanned (bucket filter inside map_batches — a semi join against
     the broadcast query-bucket set), then exact cosine top-k as usual.
-    Recall < 1 by construction; measured vs brute force in tests."""
+
+    ``multiprobe``: also probe buckets within that Hamming distance of
+    each query signature (flip 1..m sign bits) — near-neighbors that
+    fall just across a hyperplane land in an adjacent bucket, so probing
+    them buys recall for (1 + n_planes choose ≤m)/2^n_planes of the scan
+    cost, no re-hash of the corpus. Recall < 1 by construction; measured
+    vs brute force in tests."""
+    from itertools import combinations
+
     q_mat = _normalize(np.asarray(query_matrix, dtype=np.float64))
     q_buckets = set(hyperplane_signatures(q_mat, n_planes).tolist())
+    if multiprobe > 0:
+        flips = [
+            sum(1 << b for b in bits)
+            for m in range(1, multiprobe + 1)
+            for bits in combinations(range(n_planes), m)
+        ]
+        q_buckets |= {s ^ f for s in list(q_buckets) for f in flips}
 
     def bucket_filter(b: pa.Table) -> pa.Table:
         b = add_lsh_bucket(b, vec_col=vec_col, n_planes=n_planes)

@@ -116,20 +116,26 @@ class LangId:
 
 # --- fingerprinting --------------------------------------------------------
 
-FP_MOD = (1 << 61) - 1  # Mersenne prime; base-256 polynomial = bytes-as-bigint
+FP_MOD = (1 << 31) - 1  # Mersenne prime; fits Horner steps in int64
 
 
 def fingerprint_batch(
     batch: pa.Table, *, text_col: str = "text", out_col: str = "fingerprint"
 ) -> pa.Table:
-    """Document fingerprint: base-256 polynomial (rolling) hash of the
-    utf-8 bytes, mod 2^61-1 — computed as ``int.from_bytes(doc) % p``
-    (one C bigint op per doc, no per-byte Python loop)."""
+    """Document fingerprint: base-2^32 polynomial (rolling) hash over the
+    CODEPOINTS, mod 2^31-1 — computed as ``int.from_bytes(utf-32-be) % p``
+    (one C bigint op per doc, no per-byte Python loop). Defined over
+    codepoints (not utf-8 bytes) and with a mod small enough that the
+    equivalent per-char Horner step ``(acc*2^32 + cp) % p`` stays inside
+    int64 — which is exactly what the DuckDB ``list_reduce`` oracle
+    evaluates, making the fingerprint engine-reproducible in SQL."""
     col = batch[text_col]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     out = [
-        (int.from_bytes(s.encode(), "big") % FP_MOD) if s is not None else None
+        (int.from_bytes(s.encode("utf-32-be"), "big") % FP_MOD)
+        if s is not None
+        else None
         for s in col.to_pylist()
     ]
     return batch.append_column(out_col, pa.array(out, type=pa.int64()))

@@ -108,12 +108,15 @@ class TestFingerprint:
     def test_matches_horner_reimpl(self):
         from logpipe_ray.stages.text_analysis import FP_MOD, fingerprint_batch
 
-        texts = ["abc", "the quick brown fox", "", "ünïcode ⚡"]
+        texts = ["abc", "the quick brown fox", "", "ünïcode ⚡", "中文 mixed"]
         out = fingerprint_batch(pa.table({"text": texts}))["fingerprint"].to_pylist()
         for text, got in zip(texts, out):
+            # per-codepoint Horner with mod at each step — exactly what
+            # the DuckDB list_reduce oracle evaluates; must equal the
+            # bigint shortcut int.from_bytes(utf-32-be) % p
             acc = 0
-            for byte in text.encode():
-                acc = (acc * 256 + byte) % FP_MOD
+            for ch in text:
+                acc = (acc * (1 << 32) + ord(ch)) % FP_MOD
             assert got == acc
 
 
@@ -161,13 +164,26 @@ class TestAnnRecall:
             f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
         )
         brute = knn_topk(ds, qids, qmat, k=5).to_pandas()
-        ann = ann_knn_bucketed(ds, qids, qmat, k=5, n_planes=4).to_pandas()
         b = set(zip(brute["query_id"], brute["neighbor_id"]))
-        a = set(zip(ann["query_id"], ann["neighbor_id"]))
-        recall = len(a & b) / len(b)
-        assert recall >= 0.2, f"ANN recall {recall:.2f}"
+
+        ann0 = ann_knn_bucketed(
+            ds, qids, qmat, k=5, n_planes=4, multiprobe=0
+        ).to_pandas()
+        a0 = set(zip(ann0["query_id"], ann0["neighbor_id"]))
+        recall0 = len(a0 & b) / len(b)
+        assert recall0 >= 0.2, f"ANN recall {recall0:.2f}"
         # self-bucket guarantee: each query finds *some* neighbors
-        assert set(ann["query_id"]) == set(qids)
+        assert set(ann0["query_id"]) == set(qids)
+
+        # multi-probe (flip ≤1 signature bit) must not lose recall and
+        # should lift it well above the single-bucket floor
+        ann1 = ann_knn_bucketed(
+            ds, qids, qmat, k=5, n_planes=4, multiprobe=1
+        ).to_pandas()
+        a1 = set(zip(ann1["query_id"], ann1["neighbor_id"]))
+        recall1 = len(a1 & b) / len(b)
+        assert recall1 >= recall0, f"{recall1:.2f} < {recall0:.2f}"
+        assert recall1 >= 0.6, f"multi-probe ANN recall {recall1:.2f}"
 
 
 class TestTopkJaccard:

@@ -89,6 +89,57 @@ class TestLineSplit:
         assert got == expect
 
 
+class TestDirectoryTail:
+    def test_incremental_consume_and_rotation(self):
+        from logpipe_ray.sources.stream import DirectoryTailSource
+
+        d = tempfile.mkdtemp(prefix="lpr_tailsrc_")
+        state = os.path.join(d, "_state")
+        with open(os.path.join(d, "a.log"), "w") as f:
+            f.write("a1\na2\npartial")  # unterminated tail line
+        src = DirectoryTailSource(d, state, include=["*.log"])
+
+        got1 = sorted(
+            (r["source"], r["line_no"], r["byte_offset"], r["line"])
+            for r in src.read().take_all()
+        )
+        assert got1 == [("a.log", 1, 0, "a1"), ("a.log", 2, 3, "a2")]
+        src.commit()
+
+        # nothing new → empty increment
+        assert src.read().take_all() == []
+
+        # finish the partial line, append one more, add a new file
+        with open(os.path.join(d, "a.log"), "a") as f:
+            f.write("-done\na4\n")
+        with open(os.path.join(d, "b.log"), "w") as f:
+            f.write("b1\n")
+        got2 = sorted(
+            (r["source"], r["line_no"], r["byte_offset"], r["line"])
+            for r in src.read().take_all()
+        )
+        assert got2 == [
+            ("a.log", 3, 6, "partial-done"),
+            ("a.log", 4, 19, "a4"),
+            ("b.log", 1, 0, "b1"),
+        ]
+        src.commit()
+
+        # rotation: file shrinks below the committed offset → re-baseline
+        with open(os.path.join(d, "a.log"), "w") as f:
+            f.write("r1\n")
+        got3 = [
+            (r["source"], r["line_no"], r["line"]) for r in src.read().take_all()
+        ]
+        assert got3 == [("a.log", 1, "r1")]
+
+        # uncommitted read is repeatable (at-least-once before commit)
+        got3b = [
+            (r["source"], r["line_no"], r["line"]) for r in src.read().take_all()
+        ]
+        assert got3b == got3
+
+
 class TestEncoding:
     def test_gb18030_roundtrip(self):
         texts = ["简单的中文日志行", "ascii only", "mixed 日志 text"]
