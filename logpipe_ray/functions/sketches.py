@@ -5,7 +5,8 @@ KMV (k-minimum-values) distinct-count sketch: keep the k smallest
 deterministic (content hashing, no RNG), mergeable by union+truncate —
 the right shape for Ray Data: one partial sketch per batch inside
 ``map_batches``, merged in a tiny ``groupby``; the raw values never
-shuffle (ray_guide "Aggregation at scale": sketches are mergeable).
+shuffle (sketches are mergeable — see Ray Data aggregation docs,
+https://docs.ray.io/en/latest/data/aggregating-data.html).
 """
 
 from __future__ import annotations

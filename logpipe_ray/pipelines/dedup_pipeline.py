@@ -232,6 +232,60 @@ def minhash_lsh_pairs(
     return tbl.take(order)
 
 
+def simhash_near_pairs(
+    sf_dir: str,
+    *,
+    max_hamming: int = 3,
+    bands: int = 4,
+    band_bits: int = 16,
+) -> pa.Table:
+    """SimHash near-dup pairs with FULL recall for hamming ≤ bands-1:
+    sketch → band explode → bucket groupby → vectorized xor-popcount
+    verify → distributed pair dedupe. Only (band, id, hash) rows and id
+    pairs shuffle; ordered (hamming asc, doc_a, doc_b)."""
+    from functools import partial
+
+    from logpipe_ray.stages.dedup import (
+        add_simhash,
+        simhash_band_explode,
+        simhash_bucket_pairs,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    hashed = ds.map_batches(
+        lambda b: add_simhash(b).select(["doc_id", "simhash"]),
+        batch_format="pyarrow",
+    )
+    band_rows = hashed.map_batches(
+        partial(simhash_band_explode, bands=bands, band_bits=band_bits),
+        batch_format="pyarrow",
+    )
+    pairs = band_rows.groupby(["band_id", "band_val"]).map_groups(
+        partial(simhash_bucket_pairs, max_hamming=max_hamming),
+        batch_format="pyarrow",
+    )
+    uniq = pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )
+    tbl = pa.Table.from_pylist(
+        uniq.take_all(),
+        schema=pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int64())]
+        ),
+    )
+    order = pc.sort_indices(
+        tbl,
+        sort_keys=[
+            ("hamming", "ascending"),
+            ("doc_a", "ascending"),
+            ("doc_b", "ascending"),
+        ],
+    )
+    return tbl.take(order)
+
+
 # --- distributed connected components --------------------------------------
 
 

@@ -661,6 +661,17 @@ def dedup_simhash(sf_dir: str):
     )
 
 
+@query("dedup_simhash_pairs", None)  # full-recall property tested vs brute
+def dedup_simhash_pairs(sf_dir: str):
+    """Banded SimHash near-dup search: pairs within Hamming distance 3
+    (pigeonhole-complete at 4 bands — tested equal to the brute-force
+    all-pairs scan). Sketch values are blake2b-derived, so no SQL
+    oracle; recall/equality is property-tested instead."""
+    from logpipe_ray.pipelines.dedup_pipeline import simhash_near_pairs
+
+    return simhash_near_pairs(sf_dir, max_hamming=3)
+
+
 # ---------------------------------------------------------------------------
 # Embedding similarity
 # ---------------------------------------------------------------------------

@@ -1,6 +1,7 @@
 """Deduplication family: exact, n-gram Jaccard, MinHash+LSH, SimHash.
 
-Scale shapes (ray_guide "Aggregation at scale" / dedup patterns):
+Scale shapes (standard MinHash/LSH dedup patterns; Broder 1997,
+Leskovec et al. "Mining of Massive Datasets" ch.3):
 
 - **exact**: content hash in ``map_batches`` (vectorized) →
   ``groupby(hash)`` keeps the min-id representative. The shuffle moves
@@ -24,6 +25,7 @@ from typing import Iterable
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 MERSENNE61 = (1 << 61) - 1
 
@@ -185,18 +187,21 @@ def candidate_pairs_from_bucket(tbl: pa.Table) -> pa.Table:
 # --- SimHash ---------------------------------------------------------------
 
 
+_SH_SHIFTS = np.arange(64, dtype=np.uint64)
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word features (token-hash bit sign-sums)."""
-    acc = np.zeros(64, dtype=np.int64)
-    shifts = np.arange(64, dtype=np.uint64)
-    for w in set(text.split()):
-        h = np.uint64(stable_u64(w))
-        bits = (h >> shifts) & np.uint64(1)
-        acc += np.where(bits == 1, 1, -1)
-    out = 0
-    for j in range(64):
-        if acc[j] > 0:
-            out |= 1 << j
+    """64-bit SimHash over word features (token-hash bit sign-sums) —
+    one vectorized (n_words × 64) bit matrix per doc, no per-word loop."""
+    words = set(text.split())
+    if not words:
+        return 0
+    hs = np.fromiter(
+        (stable_u64(w) for w in words), dtype=np.uint64, count=len(words)
+    )
+    bits = ((hs[:, None] >> _SH_SHIFTS[None, :]) & np.uint64(1)).astype(np.int64)
+    acc = (2 * bits - 1).sum(axis=0)
+    out = int(((acc > 0).astype(np.uint64) << _SH_SHIFTS).sum())
     return out >> 1  # 63 bits, fits int64
 
 
@@ -209,6 +214,77 @@ def add_simhash(
 
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+def simhash_band_explode(
+    batch: pa.Table,
+    *,
+    hash_col: str = "simhash",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    band_bits: int = 16,
+) -> pa.Table:
+    """(doc_id, simhash) rows → (band_id, band_val, doc_id, simhash)
+    rows, vectorized. Pigeonhole guarantee: two hashes within Hamming
+    distance ``bands - 1`` agree on at least one band, so the bucket
+    groupby finds ALL such pairs (full recall, unlike MinHash bands)."""
+    sh = batch[hash_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+    ids = batch[id_col]
+    mask = np.uint64((1 << band_bits) - 1)
+    parts = []
+    for b in range(bands):
+        band_val = ((sh >> np.uint64(b * band_bits)) & mask).astype(np.int64)
+        parts.append(
+            pa.table(
+                {
+                    "band_id": pa.array(
+                        np.full(len(sh), b, dtype=np.int32), type=pa.int32()
+                    ),
+                    "band_val": pa.array(band_val, type=pa.int64()),
+                    id_col: ids,
+                    hash_col: batch[hash_col],
+                }
+            )
+        )
+    return pa.concat_tables(parts)
+
+
+def simhash_bucket_pairs(
+    tbl: pa.Table, *, max_hamming: int = 3, id_col: str = "doc_id",
+    hash_col: str = "simhash",
+) -> pa.Table:
+    """One band bucket → (doc_a, doc_b, hamming) pairs with
+    hamming ≤ max_hamming, verified via vectorized xor-popcount."""
+    order = pc.sort_indices(tbl, sort_keys=[(id_col, "ascending")])
+    tbl = tbl.take(order)
+    ids = tbl[id_col].to_numpy(zero_copy_only=False)
+    sh = tbl[hash_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+    # de-dup ids within the bucket (a doc appears once per bucket anyway)
+    n = len(ids)
+    a_out, b_out, h_out = [], [], []
+    if n > 1:
+        iu = np.triu_indices(n, k=1)
+        x = sh[iu[0]] ^ sh[iu[1]]
+        ham = np.zeros(len(x), dtype=np.int64)
+        while x.any():
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x = x >> np.uint64(1)
+        keep = np.nonzero(ham <= max_hamming)[0]
+        for o in keep:
+            a, b = int(ids[iu[0][o]]), int(ids[iu[1][o]])
+            if a == b:
+                continue
+            lo, hi = (a, b) if a < b else (b, a)
+            a_out.append(lo)
+            b_out.append(hi)
+            h_out.append(int(ham[o]))
+    return pa.table(
+        {
+            "doc_a": pa.array(a_out, type=pa.int64()),
+            "doc_b": pa.array(b_out, type=pa.int64()),
+            "hamming": pa.array(h_out, type=pa.int64()),
+        }
+    )
 
 
 # --- exact all-pairs n-gram Jaccard (small-scale oracle path) --------------

@@ -1,4 +1,5 @@
-"""Join strategies (SURVEY.md §2.5 "Lookup/enrich" + ray_guide patterns).
+"""Join strategies (SURVEY.md §2.5 "Lookup/enrich"; Ray Data joins:
+https://docs.ray.io/en/latest/data/joining-data.html).
 
 The reference's only join is the degenerate broadcast lookup (config
 source→sink table); a complete data-processing engine needs the full

@@ -87,16 +87,35 @@ _UNPACK_PAT = (
 )
 
 
-def unpack_metadata(batch: pa.Table, *, packed_col: str = "packed") -> pa.Table:
+def unpack_metadata(
+    batch: pa.Table,
+    *,
+    packed_col: str = "packed",
+    override_system: str | None = None,
+    override_server: str | None = None,
+) -> pa.Table:
     """Inverse of :func:`pack_metadata` — extract header fields as columns.
 
     Implements the intended semantics of
     logpipe-filter-unpack-metadata.c:57-147 (values parsed, not the
     reference's strnlen bug). Rows that don't match yield nulls.
+
+    ``override_system`` / ``override_server``: the reference's
+    config-override rule — when the filter's config carries its own
+    ``system``/``server`` tags they REPLACE the parsed header values
+    (unpack-metadata.c config block at :57-96); pass the configured
+    constants to reproduce that.
     """
     extracted = pc.extract_regex(batch[packed_col], _UNPACK_PAT)
+    overrides = {"system": override_system, "server": override_server}
     for name in ("system", "server", "filename"):
-        batch = batch.append_column("meta_" + name, pc.struct_field(extracted, name))
+        ov = overrides.get(name)
+        col = (
+            pa.array([ov] * batch.num_rows, type=pa.string())
+            if ov is not None
+            else pc.struct_field(extracted, name)
+        )
+        batch = batch.append_column("meta_" + name, col)
     for name in ("offset", "line"):
         col = pc.struct_field(extracted, name)
         batch = batch.append_column(

@@ -3,7 +3,8 @@
 The reference delivers immediately and has no windows (SURVEY.md §2.5
 "Windows: none"), but a complete engine over the ``events`` table needs
 them. Ray Data has no event-time watermarks; the batch restatement
-(per ray_guide "Streaming-shaped workloads"):
+(composed from public Ray Data groupby/map_groups primitives,
+https://docs.ray.io/en/latest/data/grouping-data.html):
 
 - **tumbling window**: window id is a pure function of ts → add the
   column vectorized in ``map_batches``, then a plain groupby — no
@@ -160,7 +161,7 @@ def asof_join_by_key(
     """As-of join within each key: for every left row, the most recent
     right row with ts <= left.ts (backward, exact matches allowed).
 
-    Composition per ray_guide "As-of / range join": co-locate by key
+    Composition: co-locate by key
     with one groupby shuffle, then ``pd.merge_asof`` over the sorted
     group. Left/right membership comes from boolean mask columns so a
     single pass over one dataset can as-of join two of its slices

@@ -259,6 +259,58 @@ class TestUnionFind:
         assert a == b and a[4] == 1
 
 
+class TestSimhashBandedSearch:
+    def test_equals_bruteforce_hamming_scan(self, sf_dir):
+        """Pigeonhole completeness: the banded bucket search must find
+        EXACTLY the pairs a brute-force all-pairs scan finds at
+        hamming ≤ bands-1."""
+        import itertools
+
+        import pyarrow.parquet as pq
+
+        from logpipe_ray.pipelines.dedup_pipeline import simhash_near_pairs
+        from logpipe_ray.stages.dedup import add_simhash, hamming64
+
+        got = simhash_near_pairs(sf_dir, max_hamming=3, bands=4)
+        got_set = set(
+            zip(
+                got["doc_a"].to_pylist(),
+                got["doc_b"].to_pylist(),
+                got["hamming"].to_pylist(),
+            )
+        )
+
+        t = add_simhash(
+            pq.read_table(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+            )
+        )
+        rows = list(zip(t["doc_id"].to_pylist(), t["simhash"].to_pylist()))
+        expect = set()
+        for (ia, ha), (ib, hb) in itertools.combinations(rows, 2):
+            d = hamming64(ha, hb)
+            if d <= 3:
+                lo, hi = (ia, ib) if ia < ib else (ib, ia)
+                expect.add((lo, hi, d))
+        assert got_set == expect
+
+    def test_vectorized_simhash_matches_scalar_reimpl(self):
+        from logpipe_ray.stages.dedup import simhash64, stable_u64
+
+        for text in ["", "one", "a b c d e f", "dup dup dup", "x " * 50]:
+            # scalar reference reimplementation
+            acc = [0] * 64
+            for w in set(text.split()):
+                h = stable_u64(w)
+                for j in range(64):
+                    acc[j] += 1 if (h >> j) & 1 else -1
+            ref = 0
+            for j in range(64):
+                if acc[j] > 0:
+                    ref |= 1 << j
+            assert simhash64(text) == ref >> 1
+
+
 class TestMinLabelPropagation:
     def test_matches_union_find_on_random_graph(self):
         """Distributed connected components == driver union-find."""

@@ -70,6 +70,21 @@ class TestPackUnpack:
         out = unpack_metadata(t)
         assert out["meta_system"].to_pylist() == [None]
 
+    def test_unpack_config_override(self):
+        """Reference rule: configured system/server tags REPLACE the
+        parsed header values (logpipe-filter-unpack-metadata.c:57-96)."""
+        t = _t(
+            packed=[
+                "[[system=a][server=s1][filename=f.log][offset=1][line=2]]",
+                "[[system=b][server=s2][filename=g.log][offset=3][line=4]]",
+            ]
+        )
+        out = unpack_metadata(t, override_system="SYS", override_server="SRV")
+        assert out["meta_system"].to_pylist() == ["SYS", "SYS"]
+        assert out["meta_server"].to_pylist() == ["SRV", "SRV"]
+        assert out["meta_filename"].to_pylist() == ["f.log", "g.log"]
+        assert out["meta_offset"].to_pylist() == [1, 3]
+
 
 class TestSplitFields:
     LINES = [
