@@ -241,6 +241,46 @@ def _q_seq_weighted_sample(sf_dir: str):
     return top.map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
 
 
+def _q_seq_pack(sf_dir: str):
+    """Greedy token-budget packing (2048-token training packs) via the
+    distributed two-level prefix sum (stages/packing.py) — the ×tokens
+    trainer-shaping op; oracle = one SQL window function."""
+    from logpipe_ray.sources.sequences import synthesize_sequences
+    from logpipe_ray.stages.packing import pack_by_token_budget
+
+    ds = synthesize_sequences(sf_dir)
+    return pack_by_token_budget(ds, budget=2048)
+
+
+def _q_seq_chunk(sf_dir: str):
+    """Fixed-length context-window chunking (128-token windows) — the
+    flat-map explode with per-chunk checksum, vectorized from the Arrow
+    list buffers."""
+    from functools import partial
+
+    from logpipe_ray.sources.sequences import synthesize_sequences
+    from logpipe_ray.stages.packing import chunk_tokens
+
+    ds = synthesize_sequences(sf_dir)
+    return ds.map_batches(
+        partial(chunk_tokens, chunk=128), batch_format="pyarrow"
+    )
+
+
+def _q_vocab_topk(sf_dir: str):
+    """Token-vocabulary top-50: per-batch bincount PARTIALS (≤ vocab
+    rows leave any batch) → small groupby sum → tiny sort. Tie-break
+    (n desc, token asc) matches the oracle."""
+    from logpipe_ray.functions.tokens import token_histogram_partials
+    from logpipe_ray.sources.sequences import synthesize_sequences
+    from ray.data.aggregate import Sum
+
+    ds = synthesize_sequences(sf_dir)
+    partials = ds.map_batches(token_histogram_partials, batch_format="pyarrow")
+    agg = partials.groupby("token").aggregate(Sum("n", alias_name="n"))
+    return agg.sort(["n", "token"], descending=[True, False]).limit(50)
+
+
 def _q_seq_pack_metadata(sf_dir: str):
     """pack-metadata filter: [[system=..][server=..][filename=..][offset=..][line=..]] header."""
     return _packed_ds(sf_dir).map_batches(
@@ -295,6 +335,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_unpack_roundtrip": _q_seq_unpack_roundtrip,
         "seq_sample": _q_seq_sample,
         "seq_weighted_sample": _q_seq_weighted_sample,
+        "seq_pack": _q_seq_pack,
+        "seq_chunk": _q_seq_chunk,
+        "vocab_topk": _q_vocab_topk,
     }
     out.update(QUERIES)
     return out
@@ -334,6 +377,35 @@ def oracle_sql() -> dict[str, str]:
                           1.0 / n_tok) AS sample_key
                FROM sequences)
              ORDER BY sample_key DESC, doc_id LIMIT 100""",
+        "seq_pack": SEQ_CTE
+        + """SELECT doc_id, source,
+               CAST(COALESCE(SUM(n_tok) OVER (
+                      PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    // 2048 AS BIGINT) AS pack_id
+             FROM sequences""",
+        "seq_chunk": SEQ_CTE
+        + """, toks AS (
+               SELECT doc_id, n_tok,
+                 list_transform(range(0, CAST(n_tok AS INT)),
+                                i -> (m*1000003 + i*10007) % 50257) AS t
+               FROM sequences
+             ), expl AS (
+               SELECT doc_id, n_tok, t,
+                 unnest(range(0, CAST(ceil(n_tok/128.0) AS BIGINT))) AS ci
+               FROM toks
+             )
+             SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+               CAST(LEAST(128, n_tok - ci*128) AS BIGINT) AS chunk_len,
+               CAST(list_aggregate(
+                 t[CAST(ci*128+1 AS BIGINT):CAST(LEAST((ci+1)*128, n_tok) AS BIGINT)],
+                 'sum') AS BIGINT) AS chunk_sum
+             FROM expl""",
+        "vocab_topk": SEQ_CTE
+        + """SELECT CAST(token AS BIGINT) AS token, CAST(count(*) AS BIGINT) AS n
+             FROM (SELECT unnest(list_transform(range(0, CAST(n_tok AS INT)),
+                     i -> (m*1000003 + i*10007) % 50257)) AS token FROM sequences)
+             GROUP BY token ORDER BY n DESC, token LIMIT 50""",
         # distinct over the actual token arrays (rebuilt in SQL), not m:
         # distinct m upper-bounds distinct arrays (short arrays collide)
         "seq_dedup_exact": SEQ_CTE

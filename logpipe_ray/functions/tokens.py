@@ -45,3 +45,23 @@ def add_tokens_sum(
 def token_lengths(col) -> np.ndarray:
     offsets, _ = _list_buffers(col)
     return np.diff(offsets)
+
+
+def token_histogram_partials(
+    batch: pa.Table, *, tokens_col: str = "tokens", vocab: int = 50257
+) -> pa.Table:
+    """Per-batch token-frequency partial: one ``np.bincount`` over the
+    flat values buffer → (token, n) rows for tokens present in the
+    batch. The pre-aggregation before the vocabulary ``groupby``: at
+    most ``vocab`` rows leave each batch regardless of batch size, so
+    the shuffle volume is bounded by vocab × n_blocks, never by corpus
+    token count."""
+    _, values = _list_buffers(batch[tokens_col])
+    counts = np.bincount(values, minlength=vocab)
+    nz = np.nonzero(counts)[0]
+    return pa.table(
+        {
+            "token": pa.array(nz, type=pa.int64()),
+            "n": pa.array(counts[nz], type=pa.int64()),
+        }
+    )

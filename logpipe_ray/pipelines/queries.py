@@ -471,6 +471,42 @@ def quality_score(sf_dir: str):
 
 
 @query(
+    "doc_repetition",
+    """WITH wc AS (
+         SELECT doc_id, w, count(*) AS c
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         GROUP BY doc_id, w
+       ), wstats AS (
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                CAST(sum(c) - count(*) AS BIGINT) AS n_dup_words,
+                CAST(max(c) AS BIGINT) AS top_word_count
+         FROM wc GROUP BY doc_id
+       ), bc AS (
+         SELECT doc_id, b, count(*) AS c
+         FROM (SELECT doc_id,
+                 unnest(list_transform(range(1, len(ws)),
+                                       i -> ws[i] || ' ' || ws[i+1])) AS b
+               FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+         GROUP BY doc_id, b
+       ), bstats AS (
+         SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_count
+         FROM bc GROUP BY doc_id
+       )
+       SELECT w.doc_id, n_words, n_dup_words, top_word_count,
+              COALESCE(top_bigram_count, 0) AS top_bigram_count
+       FROM wstats w LEFT JOIN bstats b ON w.doc_id = b.doc_id""",
+)
+def doc_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals per document (duplicate
+    words, most-frequent word/bigram counts) — integer outputs only,
+    vectorized across the batch (no per-doc loop)."""
+    from logpipe_ray.stages.text_analysis import repetition_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(repetition_stats, batch_format="pyarrow")
+
+
+@query(
     "filter_grep",
     "SELECT doc_id FROM documents WHERE text LIKE '%window%'",
 )
@@ -746,6 +782,20 @@ def embed_ann_lsh(sf_dir: str):
     qids, qmat = _query_vectors(sf_dir)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return ann_knn_bucketed(ds, qids, qmat, k=5)
+
+
+@query("embed_ann_ivf", None)  # ANN recall < 1 by design — measured in tests
+def embed_ann_ivf(sf_dir: str):
+    """IVF ANN at nprobe=4 of 8 centroid cells (the real ANN operating
+    point). Not SQL-expressible (k-means cells); verified by pytest
+    properties instead: full probe (nprobe=n_clusters) is asserted
+    EQUAL to brute-force kNN, and recall at nprobe=4 is measured
+    against brute force (tests/test_similarity.py)."""
+    from logpipe_ray.stages.similarity import ivf_knn
+
+    qids, qmat = _query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ivf_knn(ds, qids, qmat, k=5, n_clusters=8, nprobe=4)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,153 @@
+"""Token-budget packing and fixed-length context chunking (the ×tokens
+training-data axis: turning a corpus of variable-length pre-tokenized
+sequences into trainer-shaped units).
+
+The reference engine forwards opaque records and has no token
+semantics; these stages are the training-data extension over the
+BASELINE `sequences` table (doc_id, tokens:list<int32>, n_tok, source).
+
+Scale shapes:
+
+- :func:`pack_by_token_budget` — greedy streaming concat packing: each
+  doc is assigned the pack where its first token lands when token
+  counts accumulate per source in doc_id order
+  (``pack_id = exclusive_cumsum(n_tok) // budget``). Distributed as a
+  TWO-LEVEL PREFIX SUM: (1) one small ``groupby(source, bucket)``
+  aggregate of per-bucket token totals — buckets are *ordered* ranges
+  of the stream key, so the (sources × buckets)-row result is the only
+  thing the driver ever holds; exclusive bucket offsets are broadcast
+  (``ray.put``); (2) each bucket sorts locally and adds its offset
+  inside ``groupby(source, bucket).map_groups``. No all-to-all sort of
+  the corpus, no driver materialization — this is how a 10^12-row
+  stream gets a consistent global cumsum.
+
+- :func:`chunk_tokens` — flat-map each token list into fixed-length
+  context windows, fully vectorized from the Arrow list buffers
+  (offset arithmetic + one value prefix-sum for per-chunk checksums;
+  no per-row Python loop). Pure per-batch transform: embarrassingly
+  parallel at any scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from logpipe_ray.functions.tokens import _list_buffers
+
+_SEQ_PAT = r"-(?P<seq>\d+)$"
+
+
+def _extract_seq(doc_id_col) -> pa.Array:
+    """doc_id '<source>-<zero-padded seq>' → int64 seq (the stream key;
+    zero-padding makes string order == numeric order within a source)."""
+    return pc.cast(
+        pc.struct_field(pc.extract_regex(doc_id_col, _SEQ_PAT), "seq"),
+        pa.int64(),
+    )
+
+
+def pack_by_token_budget(
+    ds: ray.data.Dataset,
+    *,
+    budget: int = 2048,
+    bucket_width: int = 10**12,
+) -> ray.data.Dataset:
+    """(doc_id, source, n_tok) → (doc_id, source, pack_id): greedy
+    doc-boundary packing into ``budget``-token training packs.
+
+    ``bucket_width`` splits each source's doc_id-ordered stream into
+    ordered key-range buckets; tune it so one bucket ≈ one block at
+    your scale (the per-bucket ``map_groups`` holds a single bucket in
+    memory, and the driver-side offsets table is sources × buckets
+    rows).
+    """
+    import pandas as pd
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        seq = _extract_seq(b["doc_id"])
+        # integer division (arrow divide truncates on ints)
+        bucket = pc.divide(seq, bucket_width)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "source": b["source"],
+                "n_tok": pc.cast(b["n_tok"], pa.int64()),
+                "bucket": bucket,
+            }
+        )
+
+    keyed = ds.map_batches(add_bucket, batch_format="pyarrow")
+
+    # level 1: per-(source, ordered-bucket) token totals — a SMALL table
+    totals = (
+        keyed.groupby(["source", "bucket"])
+        .aggregate(Sum("n_tok", alias_name="tok_total"))
+        .to_pandas()
+    )
+    totals = totals.sort_values(["source", "bucket"])
+    totals["offset"] = (
+        totals.groupby("source")["tok_total"].cumsum() - totals["tok_total"]
+    )
+    offsets = {
+        (s, int(bk)): int(off)
+        for s, bk, off in zip(totals["source"], totals["bucket"], totals["offset"])
+    }
+    off_ref = ray.put(offsets)
+
+    # level 2: local exclusive cumsum + broadcast bucket offset
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(off_ref)
+        g = g.sort_values("doc_id")
+        base = offs[(g["source"].iloc[0], int(g["bucket"].iloc[0]))]
+        excl = base + g["n_tok"].cumsum().to_numpy(dtype=np.int64) - g[
+            "n_tok"
+        ].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "source": g["source"].to_numpy(),
+                "pack_id": excl // budget,
+            }
+        )
+
+    return keyed.groupby(["source", "bucket"]).map_groups(
+        per_bucket, batch_format="pandas"
+    )
+
+
+def chunk_tokens(
+    batch: pa.Table,
+    *,
+    chunk: int = 128,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Explode each tokens list into fixed-length context windows:
+    (doc_id, chunk_idx, chunk_len, chunk_sum) rows; the final window of
+    a doc may be short (no padding — padding policy belongs to the
+    trainer). ``chunk_sum`` is the window checksum used by oracles and
+    lineage. Fully vectorized; empty token lists yield no chunks."""
+    offsets, values = _list_buffers(batch[tokens_col])
+    lens = np.diff(offsets)
+    n_chunks = -(-lens // chunk)  # ceil
+    total = int(n_chunks.sum())
+    row_rep = np.repeat(np.arange(len(lens), dtype=np.int64), n_chunks)
+    coff = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(n_chunks, out=coff[1:])
+    ci = np.arange(total, dtype=np.int64) - np.repeat(coff[:-1], n_chunks)
+    starts = offsets[:-1][row_rep] + ci * chunk
+    ends = np.minimum(starts + chunk, offsets[1:][row_rep])
+    csum = np.concatenate([[0], np.cumsum(values, dtype=np.int64)])
+    return pa.table(
+        {
+            id_col: pc.take(batch[id_col], pa.array(row_rep)),
+            "chunk_idx": pa.array(ci, type=pa.int64()),
+            "chunk_len": pa.array(ends - starts, type=pa.int64()),
+            "chunk_sum": pa.array(csum[ends] - csum[starts], type=pa.int64()),
+        }
+    )

@@ -199,6 +199,88 @@ def ann_knn_bucketed(
     )
 
 
+# --- IVF (inverted-file) ANN — the centroid-partitioned scale path ---------
+
+
+def kmeans_centroids(
+    sample: np.ndarray, k: int, *, iters: int = 10, seed: int = 7
+) -> np.ndarray:
+    """Deterministic spherical k-means over a (small, driver-held)
+    SAMPLE of the corpus — the classic IVF coarse quantizer build.
+    k-means++-style seeded init (RandomState(seed)), Lloyd iterations
+    with cosine assignment; empty clusters keep their previous
+    centroid. The sample is the only data the driver touches — corpus
+    assignment happens distributed in :func:`ivf_knn`."""
+    m = _normalize(np.asarray(sample, dtype=np.float64))
+    rng = np.random.RandomState(seed)
+    n = m.shape[0]
+    k = min(k, n)
+    # k-means++ init on the sample
+    first = int(rng.randint(n))
+    cents = [m[first]]
+    d2 = 1.0 - m @ cents[0]
+    for _ in range(1, k):
+        p = np.maximum(d2, 1e-12)
+        nxt = int(rng.choice(n, p=p / p.sum()))
+        cents.append(m[nxt])
+        d2 = np.minimum(d2, 1.0 - m @ cents[-1])
+    c = np.stack(cents)
+    for _ in range(iters):
+        assign = np.argmax(m @ c.T, axis=1)
+        for j in range(k):
+            sel = m[assign == j]
+            if len(sel):
+                c[j] = sel.sum(axis=0)
+        c = _normalize(c)
+    return c
+
+
+def ivf_knn(
+    ds: ray.data.Dataset,
+    query_ids: list[int],
+    query_matrix: np.ndarray,
+    *,
+    k: int = 5,
+    n_clusters: int = 8,
+    nprobe: int = 4,
+    sample_limit: int = 4096,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """IVF ANN: corpus rows are assigned to their nearest centroid
+    inside ``map_batches`` (one matmul against the broadcast centroid
+    matrix); a query scans only its ``nprobe`` nearest centroid cells,
+    then exact cosine top-k over the scanned rows.
+
+    ``nprobe == n_clusters`` probes every cell — the filter passes all
+    rows and the result equals brute-force :func:`knn_topk` exactly
+    (that equivalence and the recall at partial probe are pytest
+    properties). Centroids come from a bounded driver-side sample
+    (``ds.limit(sample_limit)``); assignment and scan are distributed.
+    """
+    sample_tbl = pa.concat_tables(
+        ray.get(ds.limit(sample_limit).to_arrow_refs())
+    )
+    cents = kmeans_centroids(_matrix(sample_tbl[vec_col]), n_clusters)
+
+    q_mat = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    nprobe = min(nprobe, cents.shape[0])
+    q_sims = q_mat @ cents.T  # (n_queries, k)
+    probed = set()
+    for row in q_sims:
+        probed.update(np.argsort(-row)[:nprobe].tolist())
+    cents_ref = ray.put(cents)
+    probed_arr = np.fromiter(sorted(probed), dtype=np.int64)
+
+    def cell_filter(b: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        assign = np.argmax(_normalize(_matrix(b[vec_col])) @ c.T, axis=1)
+        return b.filter(pa.array(np.isin(assign, probed_arr)))
+
+    scanned = ds.map_batches(cell_filter, batch_format="pyarrow")
+    return knn_topk(scanned, query_ids, query_matrix, k=k, vec_col=vec_col, id_col=id_col)
+
+
 def _pair_topk_from_sims(
     sims: np.ndarray, ids_a: np.ndarray, ids_b: np.ndarray, k: int, *, triu: bool
 ) -> list[tuple[float, int, int]]:

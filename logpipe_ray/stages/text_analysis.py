@@ -65,6 +65,65 @@ def quality_score_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     return b.append_column("quality_score", pa.array(score, type=pa.float64()))
 
 
+# --- repetition statistics (Gopher-style quality signals) ------------------
+
+
+def repetition_stats(
+    batch: pa.Table, *, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Per-doc repetition signals (the Gopher/C4 duplicate-content
+    filters): word count, duplicate-word count, most-frequent-word
+    count, most-frequent-bigram count — integers only, so the DuckDB
+    oracle matches exactly with no float rounding.
+
+    Fully vectorized across the batch: one split, one global word
+    interning (``np.unique``), then per-(doc, word) and per-(doc,
+    bigram) counting via composite int keys + ``bincount``/
+    ``maximum.at`` — no per-doc Python loop. Split semantics mirror
+    DuckDB ``string_split(text, ' ')`` (consecutive separators yield
+    empty-string words)."""
+    words = pc.split_pattern(batch[text_col], " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    offsets = words.offsets.to_numpy().astype(np.int64)
+    flat = words.values.to_numpy(zero_copy_only=False)
+    # a sliced ListArray's offsets need not start at 0
+    flat = flat[offsets[0] : offsets[-1]]
+    offsets = offsets - offsets[0]
+    n_docs = len(offsets) - 1
+    n_words = np.diff(offsets)
+    seg = np.repeat(np.arange(n_docs, dtype=np.int64), n_words)
+
+    uniq, inv = np.unique(flat, return_inverse=True)
+    v = np.int64(len(uniq))
+    pair = seg * v + inv
+    upair, cnt = np.unique(pair, return_counts=True)
+    pseg = upair // v
+    n_distinct = np.bincount(pseg, minlength=n_docs)
+    top_word = np.zeros(n_docs, dtype=np.int64)
+    np.maximum.at(top_word, pseg, cnt)
+
+    # bigrams: adjacent word-code pairs within a doc
+    top_bigram = np.zeros(n_docs, dtype=np.int64)
+    if len(seg) > 1:
+        adj = seg[1:] == seg[:-1]
+        bcode = inv[:-1][adj].astype(np.int64) * v + inv[1:][adj]
+        bseg = seg[1:][adj]
+        bkey = bseg * (v * v) + bcode
+        ub, bcnt = np.unique(bkey, return_counts=True)
+        np.maximum.at(top_bigram, (ub // (v * v)).astype(np.int64), bcnt)
+
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_words": pa.array(n_words, type=pa.int64()),
+            "n_dup_words": pa.array(n_words - n_distinct, type=pa.int64()),
+            "top_word_count": pa.array(top_word, type=pa.int64()),
+            "top_bigram_count": pa.array(top_bigram, type=pa.int64()),
+        }
+    )
+
+
 # --- language ID (stateful actor-pool stage) -------------------------------
 
 _LANG_STOPWORDS = {

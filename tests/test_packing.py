@@ -1,0 +1,203 @@
+"""Token packing / chunking / vocabulary / repetition properties.
+
+Each distributed result is checked against a naive single-process
+reimplementation over the same data (the oracle-SQL check in
+test_queries covers the DuckDB side; these cover edge cases SQL can't
+express cheaply — empty lists, forced multi-bucket prefix sums, sliced
+arrays)."""
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+class TestPackByTokenBudget:
+    def test_matches_naive_greedy_pack(self, sf_dir):
+        """Distributed two-level prefix sum == naive per-source cumsum,
+        with bucket_width forced small so MANY buckets (and their
+        broadcast offsets) participate."""
+        from logpipe_ray.sources.sequences import synthesize_sequences
+        from logpipe_ray.stages.packing import pack_by_token_budget
+
+        ds = synthesize_sequences(sf_dir)
+        base = ds.to_pandas()
+
+        got = pack_by_token_budget(
+            synthesize_sequences(sf_dir), budget=1000, bucket_width=10**11
+        ).to_pandas()
+
+        exp = {}
+        for source, g in base.groupby("source"):
+            g = g.sort_values("doc_id")
+            run = 0
+            for doc_id, n in zip(g["doc_id"], g["n_tok"]):
+                exp[doc_id] = run // 1000
+                run += int(n)
+        assert len(got) == len(base)
+        got_map = dict(zip(got["doc_id"], got["pack_id"]))
+        assert got_map == exp
+
+    def test_pack_never_splits_doc_and_is_monotone(self, sf_dir):
+        from logpipe_ray.sources.sequences import synthesize_sequences
+        from logpipe_ray.stages.packing import pack_by_token_budget
+
+        got = pack_by_token_budget(
+            synthesize_sequences(sf_dir), budget=2048
+        ).to_pandas()
+        for _, g in got.groupby("source"):
+            packs = g.sort_values("doc_id")["pack_id"].to_numpy()
+            assert (np.diff(packs) >= 0).all()  # doc order fills packs in order
+            assert packs[0] == 0
+
+
+class TestChunkTokens:
+    def _batch(self, lists):
+        return pa.table(
+            {
+                "doc_id": pa.array([f"d{i}" for i in range(len(lists))]),
+                "tokens": pa.array(lists, type=pa.list_(pa.int32())),
+            }
+        )
+
+    def test_matches_naive_including_empty_and_short(self):
+        from logpipe_ray.stages.packing import chunk_tokens
+
+        lists = [[1, 2, 3, 4, 5], [], [7], list(range(10)), [9] * 4]
+        out = chunk_tokens(self._batch(lists), chunk=4)
+        rows = list(
+            zip(
+                out["doc_id"].to_pylist(),
+                out["chunk_idx"].to_pylist(),
+                out["chunk_len"].to_pylist(),
+                out["chunk_sum"].to_pylist(),
+            )
+        )
+        exp = []
+        for i, toks in enumerate(lists):
+            for ci in range((len(toks) + 3) // 4):
+                w = toks[ci * 4 : (ci + 1) * 4]
+                exp.append((f"d{i}", ci, len(w), sum(w)))
+        assert rows == exp
+
+    def test_sliced_batch(self):
+        from logpipe_ray.stages.packing import chunk_tokens
+
+        b = self._batch([[1, 2, 3], [4, 5], [6, 7, 8, 9]])
+        out = chunk_tokens(b.slice(1), chunk=2)
+        assert out["doc_id"].to_pylist() == ["d1", "d2", "d2"]
+        assert out["chunk_sum"].to_pylist() == [9, 13, 17]
+
+
+class TestTokenHistogram:
+    def test_partials_equal_counter(self):
+        from logpipe_ray.functions.tokens import token_histogram_partials
+
+        lists = [[1, 2, 2, 3], [], [3, 3, 50256]]
+        b = pa.table({"tokens": pa.array(lists, type=pa.list_(pa.int32()))})
+        out = token_histogram_partials(b)
+        got = dict(zip(out["token"].to_pylist(), out["n"].to_pylist()))
+        exp = Counter(t for l in lists for t in l)
+        assert got == dict(exp)
+
+
+class TestRepetitionStats:
+    def _naive(self, texts):
+        rows = []
+        for i, t in enumerate(texts):
+            ws = t.split(" ")  # like string_split: keeps empty strings
+            wc = Counter(ws)
+            bg = Counter(zip(ws, ws[1:]))
+            rows.append(
+                (
+                    len(ws),
+                    len(ws) - len(wc),
+                    max(wc.values()),
+                    max(bg.values()) if bg else 0,
+                )
+            )
+        return rows
+
+    @pytest.mark.parametrize(
+        "texts",
+        [
+            ["a b a b a", "x", "y y", "one two  two", "a a a a"],
+            ["solo"],
+            ["spaced  out   words", "tail "],
+        ],
+    )
+    def test_matches_naive(self, texts):
+        from logpipe_ray.stages.text_analysis import repetition_stats
+
+        b = pa.table(
+            {
+                "doc_id": pa.array([f"d{i}" for i in range(len(texts))]),
+                "text": pa.array(texts),
+            }
+        )
+        out = repetition_stats(b)
+        got = list(
+            zip(
+                out["n_words"].to_pylist(),
+                out["n_dup_words"].to_pylist(),
+                out["top_word_count"].to_pylist(),
+                out["top_bigram_count"].to_pylist(),
+            )
+        )
+        assert got == self._naive(texts)
+
+    def test_fixture_matches_naive(self, sf_dir):
+        import pyarrow.parquet as pq
+
+        from logpipe_ray.stages.text_analysis import repetition_stats
+
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        out = repetition_stats(t)
+        texts = t["text"].to_pylist()
+        got = list(
+            zip(
+                out["n_words"].to_pylist(),
+                out["n_dup_words"].to_pylist(),
+                out["top_word_count"].to_pylist(),
+                out["top_bigram_count"].to_pylist(),
+            )
+        )
+        assert got == self._naive(texts)
+
+
+class TestIvfAnn:
+    def test_full_probe_equals_brute_force(self, sf_dir):
+        import ray.data
+
+        from logpipe_ray.pipelines.queries import _query_vectors
+        from logpipe_ray.stages.similarity import ivf_knn, knn_topk
+
+        qids, qmat = _query_vectors(sf_dir)
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        brute = knn_topk(ds, qids, qmat, k=5).to_pandas()
+        full = ivf_knn(ds, qids, qmat, k=5, n_clusters=8, nprobe=8).to_pandas()
+        assert brute.equals(full)
+
+    def test_partial_probe_recall(self, sf_dir):
+        """Measured on this fixture: recall 0.48@nprobe=1, 0.8@2, 1.0@4
+        of 8 cells; assert with margin."""
+        import ray.data
+
+        from logpipe_ray.pipelines.queries import _query_vectors
+        from logpipe_ray.stages.similarity import ivf_knn, knn_topk
+
+        qids, qmat = _query_vectors(sf_dir)
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        brute = knn_topk(ds, qids, qmat, k=5).to_pandas()
+        bs = set(zip(brute["query_id"], brute["neighbor_id"]))
+        for nprobe, floor in ((2, 0.6), (4, 0.9)):
+            ann = ivf_knn(
+                ds, qids, qmat, k=5, n_clusters=8, nprobe=nprobe
+            ).to_pandas()
+            as_ = set(zip(ann["query_id"], ann["neighbor_id"]))
+            assert len(bs & as_) / len(bs) >= floor
