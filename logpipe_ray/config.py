@@ -17,7 +17,10 @@ Stages run in config order, each seeing the previous stage's output —
 the reference's filter-chain contract (src/output.c:232-253); a stage
 that filters rows drops them for everything downstream (the filter
 return>0 drop path, :244-248). Kinds resolve through
-``logpipe_ray.registry`` (the dlopen/dlsym analog).
+``logpipe_ray.registry`` (the dlopen/dlsym analog). A kind whose
+factory returns :class:`DatasetStage` is a whole-Dataset transform
+(packing, dedup — ops that need a shuffle) and is applied to the
+running Dataset directly instead of via ``map_batches``.
 """
 
 from __future__ import annotations
@@ -27,7 +30,7 @@ from typing import Any
 
 import ray.data
 
-from logpipe_ray.registry import SINKS, SOURCES, STAGES, ActorStage
+from logpipe_ray.registry import SINKS, SOURCES, STAGES, ActorStage, DatasetStage
 
 
 def load_spec(path_or_dict: str | dict) -> dict:
@@ -54,7 +57,9 @@ def build_pipeline(spec: str | dict) -> Any:
         if kind not in STAGES:
             raise KeyError(f"unknown stage kind: {kind!r}")
         stage = STAGES[kind](**stage_spec)
-        if isinstance(stage, ActorStage):
+        if isinstance(stage, DatasetStage):
+            ds = stage.fn(ds)
+        elif isinstance(stage, ActorStage):
             ds = ds.map_batches(
                 stage.cls,
                 fn_constructor_kwargs=stage.ctor_kwargs,

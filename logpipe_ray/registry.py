@@ -31,6 +31,15 @@ class ActorStage:
     pool_kwargs: dict[str, Any] = field(default_factory=dict)
 
 
+@dataclass
+class DatasetStage:
+    """A whole-Dataset transform (ds → ds) — for stages that need a
+    shuffle/groupby (packing, dedup, sort) rather than a per-batch map.
+    The config chain applies ``fn`` to the running Dataset directly."""
+
+    fn: Callable[[Any], Any]
+
+
 StageFactory = Callable[..., Any]
 
 STAGES: dict[str, StageFactory] = {}
@@ -209,6 +218,41 @@ def _st_simhash(**params):
     from logpipe_ray.stages.dedup import add_simhash
 
     return partial(add_simhash, **params)
+
+
+@register_stage("pack_tokens")
+def _st_pack_tokens(**params):
+    from logpipe_ray.stages.packing import pack_by_token_budget
+
+    return DatasetStage(partial(pack_by_token_budget, **params))
+
+
+@register_stage("dedup_exact")
+def _st_dedup_exact(**params):
+    from logpipe_ray.stages.dedup import exact_dedup
+
+    return DatasetStage(partial(exact_dedup, **params))
+
+
+@register_stage("chunk_tokens")
+def _st_chunk_tokens(**params):
+    from logpipe_ray.stages.packing import chunk_tokens
+
+    return partial(chunk_tokens, **params)
+
+
+@register_stage("token_histogram")
+def _st_token_histogram(**params):
+    from logpipe_ray.functions.tokens import token_histogram_partials
+
+    return partial(token_histogram_partials, **params)
+
+
+@register_stage("repetition_stats")
+def _st_repetition_stats(**params):
+    from logpipe_ray.stages.text_analysis import repetition_stats
+
+    return partial(repetition_stats, **params)
 
 
 @register_stage("decode_payload")

@@ -72,6 +72,50 @@ def add_text_hash(
     return batch.append_column(out_col, pa.array(vals, type=pa.int64()))
 
 
+def exact_dedup(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+):
+    """Exact corpus dedup keeping the min-``id_col`` representative ROW
+    per unique content (the config-stage / pipeline form of the
+    ``dedup_exact`` query, which returns only stats).
+
+    Shape: content hash per batch (vectorized) → ONE all-to-all shuffle
+    into ``num_buckets`` hash buckets (irreducible for exact dedup: a
+    row's duplicates can live anywhere) → vectorized sort +
+    first-wins inside each bucket. No per-unique-doc Python round-trip
+    — a bucket holds many hash groups and is deduped with one pandas
+    ``drop_duplicates``. Size ``num_buckets`` so corpus/num_buckets
+    rows fit a worker's heap."""
+    from functools import partial
+
+    import pandas as pd
+
+    hashed = ds.map_batches(
+        partial(add_text_hash, text_col=text_col), batch_format="pyarrow"
+    )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        h = b["text_hash"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "_bucket", pa.array((h % num_buckets).astype(np.int32))
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["text_hash", id_col])
+        g = g.drop_duplicates(subset=["text_hash"], keep="first")
+        return g.drop(columns=["text_hash", "_bucket"])
+
+    return (
+        hashed.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
 def word_shingles(text: str, n: int = 3) -> np.ndarray:
     """Distinct word n-gram shingles as uint64 hashes.
 

@@ -101,3 +101,36 @@ def test_custom_stage_registration(sf_dir):
     }
     df = build_pipeline(spec).to_pandas()
     assert not df["text"].str.contains(r"\d").any()
+
+
+def test_dataset_stage_dedup_exact(sf_dir):
+    """DatasetStage kinds (whole-Dataset transforms) compose in the
+    config chain: exact dedup keeps the min-id row per unique text."""
+    import pyarrow.parquet as pq
+
+    spec = {
+        "source": {
+            "kind": "parquet",
+            "path": f"{sf_dir}/documents.parquet",
+            "columns": ["doc_id", "text"],
+        },
+        "stages": [{"kind": "dedup_exact", "num_buckets": 8}],
+    }
+    df = build_pipeline(spec).to_pandas()
+    base = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    exp = base.sort_values("doc_id").drop_duplicates("text", keep="first")
+    got = df.sort_values("doc_id").reset_index(drop=True)
+    assert got.equals(exp.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_dataset_stage_pack_tokens(sf_dir):
+    spec = {
+        "source": {"kind": "sequences", "sf_dir": sf_dir},
+        "stages": [{"kind": "pack_tokens", "budget": 4096}],
+        "sink": {"kind": "dataset"},
+    }
+    df = build_pipeline(spec).to_pandas()
+    assert set(df.columns) == {"doc_id", "source", "pack_id"}
+    assert (df["pack_id"] >= 0).all()

@@ -162,3 +162,24 @@ class TestPathTemplate:
         when = datetime.datetime(2026, 8, 17, 3, 7, 9)
         out = expand_path_template("out/%Y%M%D/%h-%m-%s/part", when)
         assert out == "out/20260817/03-07-09/part"
+
+
+class TestDatedDirSink:
+    def test_dated_dir_routed_write_roundtrip(self, sf_dir, tmp_path):
+        """output-hdfs dated-directory semantics
+        (logpipe-output-hdfs.sh analog): the sink path template expands
+        at write time, the routed write lands under the dated dir, and
+        reading the directory back yields every routed row."""
+        from datetime import datetime
+
+        from logpipe_ray.pipelines.flagship import read_routed, run_flagship
+        from logpipe_ray.util import expand_path_template
+
+        when = datetime(2026, 8, 17, 12, 0, 0)
+        out = expand_path_template(str(tmp_path / "logs" / "%Y%M%D"), when)
+        assert out.endswith("20260817")
+        counters = run_flagship(sf_dir, out).to_pandas()
+        ds = read_routed(out)
+        assert ds.count() == int(counters["n_rows"].sum())
+        # the hive sink= partition is re-derived from the dated path
+        assert set(ds.schema().names) >= {"doc_id", "source", "sink"}
