@@ -249,6 +249,146 @@ def scaling() -> None:
     )
 
 
+def ensure_dedup_corpus(sf_dir: str, expand: int) -> tuple[str, int, int]:
+    """Deterministic expanded documents corpus with PLANTED near-dups.
+
+    Every base doc yields ``expand`` variants; every 3rd word of a
+    variant is replaced by a variant-unique token, so every word
+    trigram contains a unique token and *no two variants share any
+    shingle* — cross-variant Jaccard is exactly 0. Variants whose
+    global id % 97 == 0 additionally get a planted partner differing
+    in a single word (Jaccard ≈ 0.9+). Found-pair recall over the
+    planted set is therefore exact ground truth at any scale.
+
+    Returns (corpus_dir, n_docs, n_planted).
+    """
+    import pyarrow as pa
+    import ray.data
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    cache = f"{CACHE_ROOT}/dedup_{tag}_x{expand}_v2"
+    marker = f"{cache}/meta.json"
+    if os.path.exists(marker):
+        with open(marker) as f:
+            meta = json.load(f)
+        return cache, meta["n_docs"], meta["n_planted"]
+
+    base = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    n_base = base.count()
+
+    def expand_batch(b: pa.Table) -> pa.Table:
+        ids_out, texts_out = [], []
+        for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            words = t.split()
+            for e in range(expand):
+                gid = int(d) * expand + e
+                w = list(words)
+                for i in range(0, len(w), 3):
+                    w[i] = f"u{gid}w{i}"
+                ids_out.append(gid)
+                texts_out.append(" ".join(w))
+                # plant only in long docs so the partner's true Jaccard
+                # is safely above the verify threshold (a 1-word edit
+                # in a 5-word doc is genuinely below it — that would
+                # make "recall" measure the threshold, not the search)
+                if gid % 97 == 0 and len(w) > 30:
+                    w2 = list(w)
+                    w2[1] = f"p{gid}"  # one-word change → near-dup partner
+                    ids_out.append(gid + n_base * expand)
+                    texts_out.append(" ".join(w2))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, type=pa.int64()),
+                "text": pa.array(texts_out, type=pa.string()),
+            }
+        )
+
+    os.makedirs(f"{cache}/d", exist_ok=True)
+    ds = base.map_batches(expand_batch, batch_format="pyarrow", batch_size=64)
+    ds.write_parquet(f"{cache}/d", compression="zstd", compression_level=1)
+    n_docs = ds.count()
+    n_planted = n_docs - n_base * expand
+    # minhash_lsh_pipeline reads {dir}/documents.parquet — symlink-free:
+    # point a tiny manifest at the real files via a directory read
+    with open(marker, "w") as f:
+        json.dump({"n_docs": n_docs, "n_planted": n_planted}, f)
+    return cache, n_docs, n_planted
+
+
+def dedup_bench() -> None:
+    """MinHash-LSH near-dup at scale: the fully distributed pipeline
+    (band explode → bucket groupby → pair dedupe → join-based Jaccard
+    verify) over the expanded corpus; reports docs/s and planted-pair
+    recall. Run via ``python bench.py --dedup``; results recorded in
+    BASELINE.md (not part of the driver's headline JSON)."""
+    import gc
+    import time as _time
+
+    import ray
+    import ray.data
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    expand = int(os.environ.get("DEDUP_EXPAND", "20"))
+    corpus, n_docs, n_planted = ensure_dedup_corpus(SF_DIR, expand)
+    gc.collect()
+
+    from logpipe_ray.pipelines.dedup_pipeline import (
+        candidate_pairs,
+        verify_pairs,
+    )
+    from logpipe_ray.stages.dedup import exact_dedup
+
+    t0 = _time.time()
+    ds = ray.data.read_parquet(f"{corpus}/d")
+    pairs = candidate_pairs(ds, k=128, bands=16).materialize()
+    n_candidates = pairs.count()
+    verified = verify_pairs(ds, pairs, threshold_bp=2000, num_partitions=32)
+    found = verified.to_pandas()
+    lsh_sec = _time.time() - t0
+    # planted partners occupy the id range above all variants
+    planted_found = int(
+        (found["doc_b"].to_numpy() >= (n_docs - n_planted)).sum()
+    )
+    del ds, pairs, verified
+    gc.collect()
+
+    t1 = _time.time()
+    ds2 = ray.data.read_parquet(f"{corpus}/d")
+    n_unique = exact_dedup(ds2, num_buckets=64).count()
+    exact_sec = _time.time() - t1
+    del ds2
+    gc.collect()
+
+    print(
+        json.dumps(
+            {
+                "metric": "dedup_at_scale",
+                "n_docs": n_docs,
+                "n_planted_pairs": n_planted,
+                "lsh_sec": round(lsh_sec, 2),
+                "lsh_docs_per_sec": round(n_docs / lsh_sec, 1),
+                "n_candidate_pairs": n_candidates,
+                "n_verified_pairs": len(found),
+                "planted_recall": round(planted_found / max(1, n_planted), 4),
+                "exact_dedup_sec": round(exact_sec, 2),
+                "exact_unique_rows": n_unique,
+                "num_cpus": NUM_CPUS,
+            }
+        )
+    )
+    ray.shutdown()
+
+
 def gen_only() -> None:
     import ray
 
@@ -272,5 +412,7 @@ if __name__ == "__main__":
         gen_only()
     elif "--scaling" in sys.argv:
         scaling()
+    elif "--dedup" in sys.argv:
+        dedup_bench()
     else:
         main()

@@ -136,8 +136,43 @@ def candidate_pairs(
         )
         return explode_lsh_bands(b2, k=k, bands=bands, ngram=ngram)
 
-    band_rows = ds.map_batches(explode, batch_format="pyarrow")
-    bucket_pairs = band_rows.groupby(["band_id", "band_hash"]).map_groups(
+    def _i64_keys(b: pa.Table) -> pa.Table:
+        for c in ("band_id", "band_hash"):
+            b = b.set_column(
+                b.schema.get_field_index(c), c, pc.cast(b[c], pa.int64())
+            )
+        return b
+
+    band_rows = ds.map_batches(explode, batch_format="pyarrow").map_batches(
+        _i64_keys, batch_format="pyarrow"
+    )
+
+    # Hot-bucket prefilter: in a real corpus almost every (band, hash)
+    # bucket is a singleton, and ``groupby().map_groups`` pays a Python
+    # call per GROUP — millions of no-op calls at scale. Count bucket
+    # sizes with the vectorized aggregate, keep buckets with ≥2
+    # members via a distributed join, and run the per-bucket pair step
+    # only on those rows (dup-pair-proportional, not corpus-
+    # proportional).
+    hot = (
+        band_rows.groupby(["band_id", "band_hash"])
+        .aggregate(Count(alias_name="n_in_bucket"))
+        .map_batches(
+            lambda b: _i64_keys(
+                b.filter(pc.greater_equal(b["n_in_bucket"], 2)).drop_columns(
+                    ["n_in_bucket"]
+                )
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    hot_rows = band_rows.join(
+        hot,
+        join_type="inner",
+        num_partitions=16,
+        on=("band_id", "band_hash"),
+    )
+    bucket_pairs = hot_rows.groupby(["band_id", "band_hash"]).map_groups(
         candidate_pairs_from_bucket, batch_format="pyarrow"
     )
     return bucket_pairs.groupby(["doc_a", "doc_b"]).aggregate(
