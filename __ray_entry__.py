@@ -378,7 +378,7 @@ def oracle_sql() -> dict[str, str]:
                FROM sequences)
              ORDER BY sample_key DESC, doc_id LIMIT 100""",
         "seq_pack": SEQ_CTE
-        + """SELECT doc_id, source,
+        + """SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
                CAST(COALESCE(SUM(n_tok) OVER (
                       PARTITION BY source ORDER BY doc_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)

@@ -507,6 +507,40 @@ def doc_repetition(sf_dir: str):
 
 
 @query(
+    "docs_training_pipeline",
+    """WITH wc AS (
+         SELECT doc_id, w, count(*) AS c
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         GROUP BY doc_id, w
+       ), stats AS (
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                CAST(max(c) AS BIGINT) AS topw
+         FROM wc GROUP BY doc_id
+       ), kept AS (
+         SELECT d.doc_id, d.text, s.n_words
+         FROM documents d JOIN stats s ON d.doc_id = s.doc_id
+         WHERE s.topw * 8 <= s.n_words AND s.n_words >= 40
+       ), uniq AS (
+         SELECT min(doc_id) AS doc_id, min(n_words) AS n_words
+         FROM kept GROUP BY text
+       )
+       SELECT doc_id, n_words,
+              CAST(COALESCE(SUM(n_words) OVER (
+                     ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   // 512 AS BIGINT) AS pack_id
+       FROM uniq""",
+)
+def docs_training_pipeline(sf_dir: str):
+    """End-to-end LLM training-data build: repetition quality gate →
+    exact dedup → greedy 512-token packing — the full composition, one
+    SQL oracle."""
+    from logpipe_ray.pipelines.training_data import docs_to_training_packs
+
+    return docs_to_training_packs(sf_dir)
+
+
+@query(
     "filter_grep",
     "SELECT doc_id FROM documents WHERE text LIKE '%window%'",
 )

@@ -56,30 +56,43 @@ def pack_by_token_budget(
     *,
     budget: int = 2048,
     bucket_width: int = 10**12,
+    id_col: str = "doc_id",
+    source_col: str | None = "source",
+    n_tok_col: str = "n_tok",
 ) -> ray.data.Dataset:
-    """(doc_id, source, n_tok) → (doc_id, source, pack_id): greedy
-    doc-boundary packing into ``budget``-token training packs.
+    """(id, [source], n_tok) → (id, [source], pack_id): greedy
+    doc-boundary packing into ``budget``-token training packs, per
+    source stream (``source_col=None`` → one global stream).
 
-    ``bucket_width`` splits each source's doc_id-ordered stream into
-    ordered key-range buckets; tune it so one bucket ≈ one block at
-    your scale (the per-bucket ``map_groups`` holds a single bucket in
-    memory, and the driver-side offsets table is sources × buckets
-    rows).
+    The ordering key is ``id_col``: integer ids order numerically;
+    string ids of the ``<source>-<zero-padded seq>`` form order by the
+    extracted seq (zero-padding makes string order == numeric order).
+    ``bucket_width`` splits each stream into ordered key-range buckets;
+    tune it so one bucket ≈ one block at your scale (the per-bucket
+    ``map_groups`` holds a single bucket in memory, and the driver-side
+    offsets table is sources × buckets rows).
     """
     import pandas as pd
 
     def add_bucket(b: pa.Table) -> pa.Table:
-        seq = _extract_seq(b["doc_id"])
+        ids = b[id_col]
+        if pa.types.is_integer(ids.type):
+            key = pc.cast(ids, pa.int64())
+        else:
+            key = _extract_seq(ids)
         # integer division (arrow divide truncates on ints)
-        bucket = pc.divide(seq, bucket_width)
-        return pa.table(
-            {
-                "doc_id": b["doc_id"],
-                "source": b["source"],
-                "n_tok": pc.cast(b["n_tok"], pa.int64()),
-                "bucket": bucket,
-            }
-        )
+        bucket = pc.divide(key, bucket_width)
+        cols = {
+            id_col: ids,
+            "source": (
+                b[source_col]
+                if source_col is not None
+                else pa.array([""] * b.num_rows, type=pa.string())
+            ),
+            "n_tok": pc.cast(b[n_tok_col], pa.int64()),
+            "bucket": bucket,
+        }
+        return pa.table(cols)
 
     keyed = ds.map_batches(add_bucket, batch_format="pyarrow")
 
@@ -102,18 +115,17 @@ def pack_by_token_budget(
     # level 2: local exclusive cumsum + broadcast bucket offset
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         offs = ray.get(off_ref)
-        g = g.sort_values("doc_id")
+        g = g.sort_values(id_col)
         base = offs[(g["source"].iloc[0], int(g["bucket"].iloc[0]))]
         excl = base + g["n_tok"].cumsum().to_numpy(dtype=np.int64) - g[
             "n_tok"
         ].to_numpy(dtype=np.int64)
-        return pd.DataFrame(
-            {
-                "doc_id": g["doc_id"].to_numpy(),
-                "source": g["source"].to_numpy(),
-                "pack_id": excl // budget,
-            }
-        )
+        out = {id_col: g[id_col].to_numpy()}
+        if source_col is not None:
+            out["source"] = g["source"].to_numpy()
+        out[n_tok_col] = g["n_tok"].to_numpy(dtype=np.int64)
+        out["pack_id"] = excl // budget
+        return pd.DataFrame(out)
 
     return keyed.groupby(["source", "bucket"]).map_groups(
         per_bucket, batch_format="pandas"

@@ -132,5 +132,5 @@ def test_dataset_stage_pack_tokens(sf_dir):
         "sink": {"kind": "dataset"},
     }
     df = build_pipeline(spec).to_pandas()
-    assert set(df.columns) == {"doc_id", "source", "pack_id"}
+    assert set(df.columns) == {"doc_id", "source", "n_tok", "pack_id"}
     assert (df["pack_id"] >= 0).all()
