@@ -861,6 +861,97 @@ def multimodal_meta(sf_dir: str):
     )
 
 
+@query(
+    "train_val_split",
+    """SELECT doc_id,
+              CASE WHEN (doc_id * 2654435761) % 100 < 95
+                   THEN 'train' ELSE 'val' END AS split
+       FROM documents""",
+)
+def train_val_split(sf_dir: str):
+    """Deterministic hash-based train/val split (95/5): a pure function
+    of the id, so membership is stable across runs, engines and
+    re-partitioning — the scale-correct alternative to seeded
+    random_sample for corpus splits."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def split(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = (ids * 2654435761) % 100
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "split": pa.array(
+                    np.where(bucket < 95, "train", "val"), type=pa.string()
+                ),
+            }
+        )
+
+    return ds.map_batches(split, batch_format="pyarrow")
+
+
+@query(
+    "multimodal_resize",
+    """SELECT doc_id,
+              CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+              CAST(LEAST(octet_length(encode(text)), 224*224) AS BIGINT)
+                AS resized_bytes,
+              CAST(224 AS BIGINT) AS out_w, CAST(224 AS BIGINT) AS out_h
+       FROM documents""",
+)
+def multimodal_resize(sf_dir: str):
+    """Actor-pool resize stage (deterministic truncation fake — real
+    resampler raises; the Ray plumbing is the deliverable)."""
+    from logpipe_ray.stages.multimodal import ResizeStub, encode_payload
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(encode_payload, batch_format="pyarrow")
+    resized = ds.map_batches(
+        ResizeStub, batch_format="pyarrow", concurrency=2, num_cpus=0.5, batch_size=256
+    )
+    return resized.map_batches(
+        lambda b: b.select(
+            ["doc_id", "payload_bytes", "resized_bytes", "out_w", "out_h"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+@query(
+    "multimodal_frames",
+    """WITH p AS (
+         SELECT doc_id, octet_length(encode(text)) AS nb FROM documents
+       ), e AS (
+         SELECT doc_id, nb,
+                unnest(range(0, CAST(ceil(nb/97.0) AS BIGINT))) AS fi
+         FROM p
+       )
+       SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+              CAST(LEAST(97, nb - fi*97) AS BIGINT) AS frame_bytes
+       FROM e""",
+)
+def multimodal_frames(sf_dir: str):
+    """Zero-copy frame-sampling flat-map over binary payloads (fixed
+    97-byte stride fake — real demuxer raises)."""
+    from logpipe_ray.stages.multimodal import FrameSampleStub, encode_payload
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(encode_payload, batch_format="pyarrow")
+    frames = ds.map_batches(
+        FrameSampleStub,
+        batch_format="pyarrow",
+        concurrency=2,
+        num_cpus=0.5,
+        batch_size=256,
+    )
+    return frames.map_batches(
+        lambda b: b.select(["doc_id", "frame_idx", "frame_bytes"]),
+        batch_format="pyarrow",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Log-file text source (file → lines with per-stream counters)
 # ---------------------------------------------------------------------------

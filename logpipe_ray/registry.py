@@ -262,6 +262,28 @@ def _st_decode_payload(**pool):
     return ActorStage(DecodeStub, {}, {"concurrency": 2, "num_cpus": 0.5, **pool})
 
 
+@register_stage("resize_payload")
+def _st_resize_payload(target_w: int = 224, target_h: int = 224, **pool):
+    from logpipe_ray.stages.multimodal import ResizeStub
+
+    return ActorStage(
+        ResizeStub,
+        {"target_w": target_w, "target_h": target_h},
+        {"concurrency": 2, "num_cpus": 0.5, **pool},
+    )
+
+
+@register_stage("frame_sample")
+def _st_frame_sample(frame_stride: int = 97, **pool):
+    from logpipe_ray.stages.multimodal import FrameSampleStub
+
+    return ActorStage(
+        FrameSampleStub,
+        {"frame_stride": frame_stride},
+        {"concurrency": 2, "num_cpus": 0.5, **pool},
+    )
+
+
 @register_stage("transcode_decode")
 def _st_transcode_decode(**params):
     from logpipe_ray.stages.encoding import decode_binary
