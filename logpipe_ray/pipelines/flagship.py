@@ -199,7 +199,7 @@ def run_fused(
     out_dir: str,
     *,
     routes: dict | None = None,
-    batch_size: int = 131072,
+    batch_size: int = 65536,
 ) -> ray.data.Dataset:
     """Single-operator flagship: parse+enrich+routed-write composed into
     ONE map_batches UDF so the whole hot path is one task per block — no
@@ -207,11 +207,12 @@ def run_fused(
     (measured ~17% faster than the three-stage chain; BASELINE.md).
     Semantically identical to enrich_pipeline → route_and_count.
 
-    ``batch_size`` doubles as the output-file size lever: one part file
-    per sink per batch, so 128k rows × ~1 KB/row ≈ 130 MB Arrow ≈ 35 MB
-    zstd per hot-sink file (vs ~3 MB files at the old 16k batches — the
-    small-files killer), bounded above by the writer's ``roll_bytes``.
-    """
+    ``batch_size`` doubles as the output-file size lever (one part file
+    per sink per batch, bounded above by the writer's ``roll_bytes``)
+    AND the load-balance granularity: 64k rows ≈ 150 tasks at the bench
+    scale — measured 14% faster than 128k (67 tasks pack poorly onto 32
+    CPUs) while hot-sink files stay ~17 MB zstd (the small-files killer
+    was ~3 MB files at 16k batches)."""
     from functools import partial
 
     from logpipe_ray.stages.enrich import enrich_batch
