@@ -42,7 +42,6 @@ from logpipe_ray.stages.dedup import (
     candidate_pairs_from_bucket,
     explode_lsh_bands,
     jaccard,
-    word_shingles,
 )
 
 PAIR_SCHEMA = pa.schema(
@@ -75,17 +74,21 @@ class ShingleFilter:
         self.ngram = ngram
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from logpipe_ray.stages.dedup import batch_shingles
+
         ids = _resolve(self.ids_ref)  # pa.Array of int64
         mask = pc.is_in(batch["doc_id"], value_set=ids)
         sub = batch.filter(mask)
-        sh = [
-            np.sort(word_shingles(t or "", self.ngram)).tobytes()
-            for t in sub["text"].to_pylist()
-        ]
+        col = sub["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        off, sh = batch_shingles(col.fill_null(""), ngram=self.ngram)
+        # batch_shingles returns sorted-ascending per-row runs
+        sh_bytes = [sh[off[i] : off[i + 1]].tobytes() for i in range(len(off) - 1)]
         return pa.table(
             {
                 "doc_id": pc.cast(sub["doc_id"], pa.int64()),
-                "sh": pa.array(sh, type=pa.binary()),
+                "sh": pa.array(sh_bytes, type=pa.binary()),
             }
         )
 

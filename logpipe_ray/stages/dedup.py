@@ -116,20 +116,128 @@ def exact_dedup(
     )
 
 
+# --- vectorized shingle hashing --------------------------------------------
+#
+# Shingle hashes are pure IDENTITIES: every consumer (minhash, LSH
+# buckets, Jaccard verify, inverted index) only ever compares them for
+# equality, and the SQL oracles compute Jaccard over the literal string
+# n-gram sets — so any injective-in-practice 64-bit hash gives
+# byte-identical results, and the batch path below replaces the old
+# per-gram blake2b loop (the dominant per-doc cost at corpus scale)
+# with one `pd.util.hash_array` over the batch's words + a vectorized
+# Horner combine.
+
+_MIX_P = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _fmix64(h: np.ndarray) -> np.ndarray:
+    """Final avalanche (murmur3 fmix64 constants), vectorized uint64."""
+    h = h.copy()
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(29)
+    h *= np.uint64(0xC4CEB9FE1A85EC53)
+    h ^= h >> np.uint64(32)
+    return h
+
+
+def hash_words(words: np.ndarray) -> np.ndarray:
+    """Deterministic vectorized 64-bit word hashes —
+    ``pd.util.hash_array`` (keyed, constant default key, stable across
+    worker processes; Python ``hash()`` is per-process salted)."""
+    import pandas as pd
+
+    if len(words) == 0:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(words.astype(object, copy=False))
+
+
+def _ngram_combine(wh: np.ndarray, n: int) -> np.ndarray:
+    """Order-sensitive n-gram hash over a word-hash array: Horner with
+    a golden-ratio multiplier + final avalanche. Output length
+    ``len(wh) - n + 1`` (empty if fewer than n words)."""
+    if len(wh) < n:
+        return np.empty(0, dtype=np.uint64)
+    m = len(wh) - n + 1
+    h = wh[:m].copy()
+    for j in range(1, n):
+        h = h * _MIX_P + wh[j : m + j]
+    return _fmix64(h)
+
+
+def batch_shingles(
+    texts, *, ngram: int = 3
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row DISTINCT word-n-gram shingle hash sets for a whole batch:
+    one arrow whitespace split, one ``hash_array`` over the flat word
+    buffer, vectorized n-gram combine, per-row dedupe via lexsort.
+    Returns ``(offsets, hashes)`` with each row's hash run sorted
+    ascending; rows with fewer than ``ngram`` words are empty (the SQL
+    oracle's trigram semantics — see :func:`word_shingles`)."""
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    words = pc.utf8_split_whitespace(texts)
+    offsets = words.offsets.to_numpy().astype(np.int64)
+    flat = words.values.to_numpy(zero_copy_only=False)
+    # a sliced ListArray's offsets need not start at 0
+    flat = flat[offsets[0] : offsets[-1]]
+    offsets = offsets - offsets[0]
+    n_rows = len(offsets) - 1
+    # arrow's split emits empty strings at string edges (python
+    # ``str.split()`` and the oracle's regexp '\\S+' drop them)
+    seg_w = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(offsets))
+    nonempty_w = flat != ""
+    if not nonempty_w.all():
+        flat = flat[nonempty_w]
+        seg_w = seg_w[nonempty_w]
+        counts_w = np.bincount(seg_w, minlength=n_rows)
+        offsets = np.zeros(n_rows + 1, dtype=np.int64)
+        np.cumsum(counts_w, out=offsets[1:])
+    lens = np.diff(offsets)
+    n_sh = np.maximum(lens - ngram + 1, 0)
+    tot = int(n_sh.sum())
+    empty_off = np.zeros(n_rows + 1, dtype=np.int64)
+    if tot == 0:
+        return empty_off, np.empty(0, dtype=np.uint64)
+    wh = hash_words(flat)
+    gh = _ngram_combine(wh, ngram)  # windows over the FLAT buffer
+    shoff = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(n_sh, out=shoff[1:])
+    # flat positions of each row's in-row window starts
+    pos = (
+        np.arange(tot, dtype=np.int64)
+        - np.repeat(shoff[:-1], n_sh)
+        + np.repeat(offsets[:-1], n_sh)
+    )
+    tri = gh[pos]
+    seg = np.repeat(np.arange(n_rows, dtype=np.int64), n_sh)
+    order = np.lexsort((tri, seg))
+    seg_s, tri_s = seg[order], tri[order]
+    keep = np.ones(len(order), dtype=bool)
+    keep[1:] = (seg_s[1:] != seg_s[:-1]) | (tri_s[1:] != tri_s[:-1])
+    seg_d, tri_d = seg_s[keep], tri_s[keep]
+    counts = np.bincount(seg_d, minlength=n_rows)
+    out_off = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(counts, out=out_off[1:])
+    return out_off, tri_d
+
+
 def word_shingles(text: str, n: int = 3) -> np.ndarray:
-    """Distinct word n-gram shingles as uint64 hashes.
+    """Distinct word n-gram shingles as uint64 hashes (sorted).
 
     Docs with fewer than ``n`` words yield an EMPTY set — matching the
     SQL oracle's trigram semantics (range over len-n+1 positions), so
     two identical 1-2 word docs are not reported as J=1.0 pairs by one
-    path and skipped by the other (ADVICE r1).
+    path and skipped by the other (ADVICE r1). Single-doc form of
+    :func:`batch_shingles` (identical hashes by construction).
     """
     words = text.split()
     if len(words) < n:
         return np.empty(0, dtype=np.uint64)
-    grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
-    hashes = {stable_u64(g) for g in grams}
-    return np.fromiter(hashes, dtype=np.uint64, count=len(hashes))
+    wh = hash_words(np.array(words, dtype=object))
+    return np.unique(_ngram_combine(wh, n))
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
@@ -168,20 +276,23 @@ def minhash_signature(
     return grid.min(axis=1)
 
 
+def _band_hashes_matrix(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(n_docs, k) signature matrix → (n_docs, bands) 63-bit band
+    hashes, vectorized (Horner over each band's rows + avalanche)."""
+    n, k = sigs.shape
+    rows = k // bands
+    rs = sigs.astype(np.uint64).reshape(n, bands, rows)
+    h = np.zeros((n, bands), dtype=np.uint64)
+    for j in range(rows):
+        h = h * _MIX_P + rs[:, :, j]
+    return _fmix64(h) >> np.uint64(1)
+
+
 def band_keys(sig: np.ndarray, bands: int = 16) -> list[int]:
     """LSH band hashes: split the signature into ``bands`` rows-chunks,
-    hash each chunk → (band_id, band_hash) bucket keys."""
-    rows = len(sig) // bands
-    keys = []
-    for b in range(bands):
-        chunk = sig[b * rows : (b + 1) * rows].tobytes()
-        keys.append(
-            int.from_bytes(
-                hashlib.blake2b(chunk, digest_size=8).digest(), "big"
-            )
-            >> 1
-        )
-    return keys
+    hash each chunk → (band_id, band_hash) bucket keys. Single-doc form
+    of :func:`_band_hashes_matrix` (identical values)."""
+    return [int(v) for v in _band_hashes_matrix(np.asarray(sig).reshape(1, -1), bands)[0]]
 
 
 def explode_lsh_bands(
@@ -193,26 +304,47 @@ def explode_lsh_bands(
     bands: int = 16,
     ngram: int = 3,
 ) -> pa.Table:
-    """doc rows → (band_id, band_hash, doc_id) rows for the bucket groupby."""
-    ids, band_ids, band_hashes = [], [], []
-    for doc_id, text in zip(
-        batch[id_col].to_pylist(), batch[text_col].to_pylist()
-    ):
-        sh = word_shingles(text or "", ngram)
-        if len(sh) == 0:
-            # shingle-less docs can never verify (J=0) — and their
-            # all-max signatures would otherwise all collide in one bucket
-            continue
-        sig = minhash_signature(sh, k=k)
-        for b, h in enumerate(band_keys(sig, bands)):
-            ids.append(doc_id)
-            band_ids.append(b)
-            band_hashes.append(h)
+    """doc rows → (band_id, band_hash, doc_id) rows for the bucket
+    groupby. Fully vectorized: batch shingles → one (k × n_shingles)
+    minhash pass with per-row segment mins (``minimum.reduceat``) →
+    matrix band hashing. Shingle-less docs emit no rows (they can never
+    verify, J=0 — and their all-max signatures would otherwise all
+    collide in one bucket)."""
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    off, sh = batch_shingles(col.fill_null(""), ngram=ngram)
+    lens = np.diff(off)
+    nonempty = lens > 0
+    n_rows = len(lens)
+    if not nonempty.any():
+        return pa.table(
+            {
+                "band_id": pa.array([], type=pa.int32()),
+                "band_hash": pa.array([], type=pa.int64()),
+                id_col: batch[id_col].slice(0, 0),
+            }
+        )
+    a, b = _minhash_params(k)
+    x = (sh % MERSENNE31).astype(np.int64)
+    starts = np.clip(off[:-1], 0, max(len(x) - 1, 0))
+    sigs = np.empty((n_rows, k), dtype=np.int64)
+    for j in range(k):
+        vals = (a[j] * x + b[j]) % MERSENNE31
+        sigs[:, j] = np.minimum.reduceat(vals, starts)
+    # rows with no shingles got garbage from reduceat — dropped below
+    bh = _band_hashes_matrix(sigs, bands)
+    idx = np.nonzero(nonempty)[0]
+    doc_rep = np.repeat(idx, bands)
     return pa.table(
         {
-            "band_id": pa.array(band_ids, type=pa.int32()),
-            "band_hash": pa.array(band_hashes, type=pa.int64()),
-            "doc_id": pa.array(ids),
+            "band_id": pa.array(
+                np.tile(np.arange(bands, dtype=np.int32), len(idx))
+            ),
+            "band_hash": pa.array(
+                bh[idx].ravel().astype(np.int64), type=pa.int64()
+            ),
+            id_col: pc.take(batch[id_col], pa.array(doc_rep)),
         }
     )
 

@@ -41,6 +41,8 @@ from logpipe_ray.functions.tokens import _list_buffers
 
 _SEQ_PAT = r"-(?P<seq>\d+)$"
 
+_PROC_CACHE: dict[str, object] = {}
+
 
 def _extract_seq(doc_id_col) -> pa.Array:
     """doc_id '<source>-<zero-padded seq>' → int64 seq (the stream key;
@@ -113,8 +115,13 @@ def pack_by_token_budget(
     off_ref = ray.put(offsets)
 
     # level 2: local exclusive cumsum + broadcast bucket offset
+    # (resolved once per worker process, not once per group — map_groups
+    # calls the UDF per group and a ray.get re-deserializes every time)
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        offs = ray.get(off_ref)
+        key = off_ref.hex()
+        if key not in _PROC_CACHE:
+            _PROC_CACHE[key] = ray.get(off_ref)
+        offs = _PROC_CACHE[key]
         g = g.sort_values(id_col)
         base = offs[(g["source"].iloc[0], int(g["bucket"].iloc[0]))]
         excl = base + g["n_tok"].cumsum().to_numpy(dtype=np.int64) - g[

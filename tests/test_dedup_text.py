@@ -59,7 +59,10 @@ class TestMinHashLsh:
         tbl = pa.table(
             {"doc_id": list(docs), "text": [docs[k] for k in docs]}
         )
-        band_rows = explode_lsh_bands(tbl)
+        # planted pairs sit at J≈0.73; at 16 bands × 8 rows detection is
+        # only ~74% per pair (hash-dependent luck), at 32 bands × 4 rows
+        # it's 1 - (1 - 0.73^4)^32 ≈ 1 - 2e-5 — assert the sure config
+        band_rows = explode_lsh_bands(tbl, k=128, bands=32)
         ds = ray.data.from_arrow(band_rows)
         cands = ds.groupby(["band_id", "band_hash"]).map_groups(
             candidate_pairs_from_bucket, batch_format="pyarrow"
