@@ -367,14 +367,13 @@ _SH_SHIFTS = np.arange(64, dtype=np.uint64)
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word features (token-hash bit sign-sums) —
-    one vectorized (n_words × 64) bit matrix per doc, no per-word loop."""
-    words = set(text.split())
+    """64-bit SimHash over distinct-word features (word-hash bit
+    sign-sums); word hashes via :func:`hash_words` (same identities as
+    the shingle family). Single-doc form of :func:`add_simhash`."""
+    words = sorted(set(text.split()))
     if not words:
         return 0
-    hs = np.fromiter(
-        (stable_u64(w) for w in words), dtype=np.uint64, count=len(words)
-    )
+    hs = hash_words(np.array(words, dtype=object))
     bits = ((hs[:, None] >> _SH_SHIFTS[None, :]) & np.uint64(1)).astype(np.int64)
     acc = (2 * bits - 1).sum(axis=0)
     out = int(((acc > 0).astype(np.uint64) << _SH_SHIFTS).sum())
@@ -384,8 +383,52 @@ def simhash64(text: str) -> int:
 def add_simhash(
     batch: pa.Table, *, text_col: str = "text", out_col: str = "simhash"
 ) -> pa.Table:
-    vals = [simhash64(t or "") for t in batch[text_col].to_pylist()]
-    return batch.append_column(out_col, pa.array(vals, type=pa.int64()))
+    """Vectorized batch SimHash: one split + one ``hash_array`` for the
+    whole batch, per-doc distinct words via lexsort dedupe, sign-sums
+    via ``add.reduceat`` over the (words × 64) bit matrix — no per-doc
+    Python loop (the per-word blake2b was the dominant cost)."""
+    import pyarrow.compute as pc
+
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    words = pc.utf8_split_whitespace(col.fill_null(""))
+    offsets = words.offsets.to_numpy().astype(np.int64)
+    flat = words.values.to_numpy(zero_copy_only=False)
+    flat = flat[offsets[0] : offsets[-1]]
+    offsets = offsets - offsets[0]
+    n_rows = len(offsets) - 1
+    seg = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(offsets))
+    keep_w = flat != ""  # arrow split emits empties at string edges
+    flat, seg = flat[keep_w], seg[keep_w]
+    out = np.zeros(n_rows, dtype=np.int64)
+    if len(flat):
+        wh = hash_words(flat)
+        # distinct words per doc (simhash is over the word SET)
+        order = np.lexsort((wh, seg))
+        seg_s, wh_s = seg[order], wh[order]
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = (seg_s[1:] != seg_s[:-1]) | (wh_s[1:] != wh_s[:-1])
+        seg_d, wh_d = seg_s[first], wh_s[first]
+        signs = (
+            ((wh_d[:, None] >> _SH_SHIFTS[None, :]) & np.uint64(1)).astype(
+                np.int32
+            )
+            * 2
+            - 1
+        )
+        counts = np.bincount(seg_d, minlength=n_rows)
+        starts = np.zeros(n_rows, dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        nonempty = counts > 0
+        acc = np.add.reduceat(
+            signs, np.clip(starts, 0, max(len(seg_d) - 1, 0)), axis=0
+        )
+        sketch = ((acc > 0).astype(np.uint64) << _SH_SHIFTS[None, :]).sum(
+            axis=1
+        ) >> np.uint64(1)
+        out[nonempty] = sketch[nonempty].astype(np.int64)
+    return batch.append_column(out_col, pa.array(out, type=pa.int64()))
 
 
 def hamming64(a: int, b: int) -> int:

@@ -298,20 +298,37 @@ class TestSimhashBandedSearch:
         assert got_set == expect
 
     def test_vectorized_simhash_matches_scalar_reimpl(self):
-        from logpipe_ray.stages.dedup import simhash64, stable_u64
+        from logpipe_ray.stages.dedup import hash_words, simhash64
+
+        import numpy as np
 
         for text in ["", "one", "a b c d e f", "dup dup dup", "x " * 50]:
-            # scalar reference reimplementation
+            # scalar reference reimplementation (per-bit loop)
             acc = [0] * 64
-            for w in set(text.split()):
-                h = stable_u64(w)
+            ws = sorted(set(text.split()))
+            hs = hash_words(np.array(ws, dtype=object)) if ws else []
+            for h in hs:
                 for j in range(64):
-                    acc[j] += 1 if (h >> j) & 1 else -1
+                    acc[j] += 1 if (int(h) >> j) & 1 else -1
             ref = 0
             for j in range(64):
                 if acc[j] > 0:
                     ref |= 1 << j
             assert simhash64(text) == ref >> 1
+
+    def test_batch_simhash_matches_scalar(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from logpipe_ray.stages.dedup import add_simhash, simhash64
+
+        texts = ["", "one", "a b c d e f", "dup dup dup", "x " * 50, " pad  ded "]
+        t = pa.table({"doc_id": pa.array(range(len(texts))), "text": pa.array(texts)})
+        out = add_simhash(t)
+        assert out["simhash"].to_pylist() == [simhash64(x) for x in texts]
+        # sliced batch
+        out2 = add_simhash(t.slice(2))
+        assert out2["simhash"].to_pylist() == [simhash64(x) for x in texts[2:]]
 
 
 class TestMinLabelPropagation:
