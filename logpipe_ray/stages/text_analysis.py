@@ -138,39 +138,61 @@ class LangId:
     """Actor-pool language-ID stage (``map_batches(LangId, concurrency=N)``).
 
     ``__init__`` builds per-language token tables once per actor (the
-    Init*PluginContext analog); ``__call__`` scores batches. A doc with
-    CJK codepoints → ``zh``; otherwise argmax of per-language stopword
-    hits (ties → ``und``ecided → highest-priority language order).
+    Init*PluginContext analog); ``__call__`` scores whole batches
+    vectorized. A doc with CJK codepoints → ``zh``; otherwise argmax of
+    per-language stopword hits in sorted-language order (first max
+    wins — the DuckDB oracle's CASE order), 0 hits → ``und``.
+
+    Token semantics mirror the oracle's ``regexp_extract_all('[a-zA-Z]+')``
+    exactly: non-alpha runs become separators (so ``the9`` does NOT
+    contain a token ``the`` — a ``\\b``-regex count would differ there).
     """
 
     def __init__(self):
-        self.tables = {
-            lang: frozenset(words) for lang, words in _LANG_STOPWORDS.items()
-        }
-        self.langs = sorted(self.tables)
-        import re
-
-        self.word_re = re.compile(r"[a-zA-Z]+")
-        self.cjk_re = re.compile(r"[一-鿿]")
-
-    def _score_one(self, text: str) -> str:
-        if self.cjk_re.search(text):
-            return "zh"
-        words = [w.lower() for w in self.word_re.findall(text)]
-        if not words:
-            return "und"
-        best_lang, best = "und", 0
-        for lang in self.langs:
-            hits = sum(1 for w in words if w in self.tables[lang])
-            if hits > best:
-                best_lang, best = lang, hits
-        return best_lang
+        self.langs = sorted(_LANG_STOPWORDS)
+        self.tables = [
+            np.array(sorted(_LANG_STOPWORDS[lang]), dtype=object)
+            for lang in self.langs
+        ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        # per-doc python loop is acceptable here: docs are few and large
-        # relative to rows-of-tokens; the hot path stays in the actor
-        preds = [self._score_one(t) for t in batch["text"].to_pylist()]
-        return batch.append_column("lang_pred", pa.array(preds, type=pa.string()))
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = col.fill_null("")
+        cjk = pc.greater(
+            pc.count_substring_regex(col, "[一-鿿]"), 0
+        ).to_numpy(zero_copy_only=False)
+        norm = pc.utf8_lower(
+            pc.replace_substring_regex(col, "[^a-zA-Z]+", " ")
+        )
+        words = pc.split_pattern(norm, " ")
+        offsets = words.offsets.to_numpy().astype(np.int64)
+        flat = words.values.to_numpy(zero_copy_only=False)
+        flat = flat[offsets[0] : offsets[-1]]
+        offsets = offsets - offsets[0]
+        n_docs = len(offsets) - 1
+        seg = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(offsets))
+        keep = flat != ""
+        flat, seg = flat[keep], seg[keep]
+        scores = np.zeros((n_docs, len(self.langs)), dtype=np.int64)
+        if len(flat):
+            uniq, inv = np.unique(flat, return_inverse=True)
+            for li, table in enumerate(self.tables):
+                member = np.isin(uniq, table)
+                hits = member[inv]
+                if hits.any():
+                    scores[:, li] = np.bincount(
+                        seg, weights=hits, minlength=n_docs
+                    ).astype(np.int64)
+        best = np.argmax(scores, axis=1)  # first max wins (sorted langs)
+        langs_arr = np.array(self.langs, dtype=object)
+        preds = np.where(
+            cjk, "zh", np.where(scores.max(axis=1) > 0, langs_arr[best], "und")
+        )
+        return batch.append_column(
+            "lang_pred", pa.array(preds, type=pa.string())
+        )
 
 
 # --- fingerprinting --------------------------------------------------------

@@ -139,8 +139,14 @@ class TestLangId:
         from logpipe_ray.stages.text_analysis import LangId
 
         model = LangId()
-        for text, lang in self.FIXTURES:
-            assert model._score_one(text) == lang, text
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(self.FIXTURES))),
+                "text": pa.array([f[0] for f in self.FIXTURES]),
+            }
+        )
+        preds = model(t)["lang_pred"].to_pylist()
+        assert preds == [f[1] for f in self.FIXTURES]
 
     def test_actor_pool_stage_runs(self, sf_dir):
         import ray.data
