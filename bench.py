@@ -352,7 +352,7 @@ def dedup_bench() -> None:
     ds = ray.data.read_parquet(f"{corpus}/d")
     pairs = candidate_pairs(ds, k=128, bands=16).materialize()
     n_candidates = pairs.count()
-    verified = verify_pairs(ds, pairs, threshold_bp=2000, num_partitions=32)
+    verified = verify_pairs(ds, pairs, threshold_bp=2000)
     found = verified.to_pandas()
     lsh_sec = _time.time() - t0
     # planted partners occupy the id range above all variants

@@ -149,6 +149,7 @@ def candidate_pairs(
     band_rows = ds.map_batches(explode, batch_format="pyarrow").map_batches(
         _i64_keys, batch_format="pyarrow"
     )
+    hot_partitions = _join_partitions(None, cap=16)
 
     # Hot-bucket prefilter: in a real corpus almost every (band, hash)
     # bucket is a singleton, and ``groupby().map_groups`` pays a Python
@@ -172,7 +173,7 @@ def candidate_pairs(
     hot_rows = band_rows.join(
         hot,
         join_type="inner",
-        num_partitions=16,
+        num_partitions=hot_partitions,
         on=("band_id", "band_hash"),
     )
     bucket_pairs = hot_rows.groupby(["band_id", "band_hash"]).map_groups(
@@ -183,13 +184,27 @@ def candidate_pairs(
     )
 
 
+def _join_partitions(requested: int | None, cap: int = 32) -> int:
+    """Join partition count bounded by cluster size: every Ray Data
+    ``JoinOperator`` partition RESERVES ~2 GB of logical executor
+    memory up front, so two chained 32-partition joins on a small
+    cluster overcommit the budget and the executor deadlocks with the
+    joins backpressured at 0 tasks (observed at num_cpus=8; fine at
+    32). Scale with CPUs unless the caller pins a value."""
+    if requested is not None:
+        return requested
+    from logpipe_ray.util import cluster_cpus
+
+    return max(2, min(cluster_cpus(), cap))
+
+
 def verify_pairs(
     ds: ray.data.Dataset,
     pairs: ray.data.Dataset,
     *,
     threshold_bp: int = 2000,
     ngram: int = 3,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Exact-Jaccard verification of candidate pairs, fully distributed.
 
@@ -198,6 +213,7 @@ def verify_pairs(
     both sides' shingles to each pair with two hash joins and score
     per-pair inside tasks. The driver only ever holds ids.
     """
+    num_partitions = _join_partitions(num_partitions)
     cand_ids = pairs.map_batches(
         lambda b: pa.table(
             {
