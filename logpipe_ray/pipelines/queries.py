@@ -864,7 +864,7 @@ def multimodal_meta(sf_dir: str):
 @query(
     "train_val_split",
     """SELECT doc_id,
-              CASE WHEN ((doc_id % 100000007) * 2654435761) % 100 < 95
+              CASE WHEN ((abs(doc_id) % 100000007) * 2654435761) % 100 < 95
                    THEN 'train' ELSE 'val' END AS split
        FROM documents""",
 )
@@ -879,10 +879,10 @@ def train_val_split(sf_dir: str):
         import numpy as np
 
         ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        # pre-mod keeps the product < 2^63 for any int64 id — DuckDB
-        # BIGINT errors (not wraps) on overflow, so the raw multiply
-        # would diverge from the oracle at large ids
-        bucket = ((ids % 100000007) * 2654435761) % 100
+        # abs + pre-mod: keeps the product < 2^63 for any int64 id
+        # (DuckDB BIGINT errors, not wraps, on overflow) and sidesteps
+        # the numpy-vs-SQL negative-modulo sign difference
+        bucket = ((np.abs(ids) % 100000007) * 2654435761) % 100
         return pa.table(
             {
                 "doc_id": b["doc_id"],

@@ -135,7 +135,7 @@ def hash_join(
     on: str | tuple[str, ...],
     right_on: str | tuple[str, ...] | None = None,
     join_type: str = "inner",
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Large×large hash-partitioned join (both sides shuffle on the key).
 
@@ -144,8 +144,15 @@ def hash_join(
     inputs. ``num_partitions`` bounds per-partition memory (each
     partition joined independently); size it so a partition of the
     larger side fits a worker's heap, and pre-salt hot keys if one key
-    dominates (see stages.route.add_salt).
+    dominates (see stages.route.add_salt). Default scales with cluster
+    CPUs — each JoinOperator partition reserves ~2 GB of logical
+    executor memory up front, so a partition count sized for a big
+    cluster deadlocks a small one (see BASELINE.md r2 notes).
     """
+    if num_partitions is None:
+        from logpipe_ray.util import cluster_cpus
+
+        num_partitions = max(2, min(cluster_cpus(), 16))
     on_t = (on,) if isinstance(on, str) else tuple(on)
     r_t = (
         None
