@@ -252,6 +252,29 @@ def _q_seq_pack(sf_dir: str):
     return pack_by_token_budget(ds, budget=2048)
 
 
+def _q_seq_pack_sums(sf_dir: str):
+    """Pack MATERIALIZATION check: per (source, pack) doc count, token
+    count and token-content checksum — proves the packs carry the
+    actual token payloads, not just assignments. tokens_sum comes from
+    the real arrays (functions/tokens.py list-buffer prefix sums); the
+    oracle recomputes it in SQL."""
+    from ray.data.aggregate import Count, Sum
+
+    from logpipe_ray.functions.tokens import add_tokens_sum
+    from logpipe_ray.sources.sequences import synthesize_sequences
+    from logpipe_ray.stages.packing import pack_by_token_budget
+
+    ds = synthesize_sequences(sf_dir).map_batches(
+        add_tokens_sum, batch_format="pyarrow"
+    )
+    packed = pack_by_token_budget(ds, budget=2048, carry_cols=("tokens_sum",))
+    return packed.groupby(["source", "pack_id"]).aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_tok", alias_name="pack_tokens"),
+        Sum("tokens_sum", alias_name="pack_checksum"),
+    )
+
+
 def _q_seq_chunk(sf_dir: str):
     """Fixed-length context-window chunking (128-token windows) — the
     flat-map explode with per-chunk checksum, vectorized from the Arrow
@@ -336,6 +359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_sample": _q_seq_sample,
         "seq_weighted_sample": _q_seq_weighted_sample,
         "seq_pack": _q_seq_pack,
+        "seq_pack_sums": _q_seq_pack_sums,
         "seq_chunk": _q_seq_chunk,
         "vocab_topk": _q_vocab_topk,
     }
@@ -384,6 +408,20 @@ def oracle_sql() -> dict[str, str]:
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                     // 2048 AS BIGINT) AS pack_id
              FROM sequences""",
+        "seq_pack_sums": SEQ_CTE
+        + """, packed AS (
+               SELECT source, n_tok, tokens_sum,
+                 COALESCE(SUM(n_tok) OVER (
+                     PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   // 2048 AS pack_id
+               FROM sequences
+             )
+             SELECT source, CAST(pack_id AS BIGINT) AS pack_id,
+               count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+               CAST(sum(tokens_sum) AS BIGINT) AS pack_checksum
+             FROM packed GROUP BY source, pack_id""",
         "seq_chunk": SEQ_CTE
         + """, toks AS (
                SELECT doc_id, n_tok,

@@ -1261,6 +1261,23 @@ def events_cumsum(sf_dir: str):
 
 
 @query(
+    "events_lag_diff",
+    """SELECT event_id,
+              CAST(round(value*100) AS BIGINT)
+                - lag(CAST(round(value*100) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS delta_cents
+       FROM events""",
+)
+def events_lag_diff(sf_dir: str):
+    """LAG() window: per-user value delta vs the previous event."""
+    from logpipe_ray.stages.window import lag_diff_by_key
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return lag_diff_by_key(ds)
+
+
+@query(
     "events_union",
     """SELECT event_type, count(*) AS n FROM (
          SELECT event_type FROM events WHERE event_type = 'purchase' AND value >= 100

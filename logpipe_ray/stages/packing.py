@@ -61,6 +61,7 @@ def pack_by_token_budget(
     id_col: str = "doc_id",
     source_col: str | None = "source",
     n_tok_col: str = "n_tok",
+    carry_cols: tuple[str, ...] = (),
 ) -> ray.data.Dataset:
     """(id, [source], n_tok) → (id, [source], pack_id): greedy
     doc-boundary packing into ``budget``-token training packs, per
@@ -94,6 +95,8 @@ def pack_by_token_budget(
             "n_tok": pc.cast(b[n_tok_col], pa.int64()),
             "bucket": bucket,
         }
+        for c in carry_cols:
+            cols[c] = b[c]
         return pa.table(cols)
 
     keyed = ds.map_batches(add_bucket, batch_format="pyarrow")
@@ -132,6 +135,8 @@ def pack_by_token_budget(
             out["source"] = g["source"].to_numpy()
         out[n_tok_col] = g["n_tok"].to_numpy(dtype=np.int64)
         out["pack_id"] = excl // budget
+        for c in carry_cols:
+            out[c] = g[c].to_numpy()
         return pd.DataFrame(out)
 
     return keyed.groupby(["source", "bucket"]).map_groups(

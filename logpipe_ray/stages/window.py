@@ -217,3 +217,30 @@ def cumulative_sum_by_key(
         )
 
     return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
+def lag_diff_by_key(
+    ds: ray.data.Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> ray.data.Dataset:
+    """Per-key lead/lag delta in (ts, id) order: each event's cents
+    value minus the previous event's (first event per key → null) —
+    the LAG() window restatement (co-locate by key, order within the
+    group; same partitioning contract as cumulative_sum_by_key)."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col])
+        cents = pd.Series(cents_half_away(g[value_col]))
+        delta = cents - cents.shift(1)
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].astype("int64").to_numpy(),
+                "delta_cents": delta.astype("Int64").to_numpy(),
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
