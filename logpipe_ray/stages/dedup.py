@@ -327,14 +327,17 @@ def explode_lsh_bands(
         )
     a, b = _minhash_params(k)
     x = (sh % MERSENNE31).astype(np.int64)
-    starts = np.clip(off[:-1], 0, max(len(x) - 1, 0))
-    sigs = np.empty((n_rows, k), dtype=np.int64)
+    idx = np.nonzero(nonempty)[0]
+    # reduceat ONLY over non-empty rows' starts: a trailing-empty row's
+    # start equals len(x), and clipping it into range would truncate
+    # the preceding row's segment (the ADVICE-r1 reduceat trap) —
+    # non-empty starts are strictly increasing and always in range
+    starts = off[:-1][nonempty]
+    sigs = np.empty((len(idx), k), dtype=np.int64)
     for j in range(k):
         vals = (a[j] * x + b[j]) % MERSENNE31
         sigs[:, j] = np.minimum.reduceat(vals, starts)
-    # rows with no shingles got garbage from reduceat — dropped below
     bh = _band_hashes_matrix(sigs, bands)
-    idx = np.nonzero(nonempty)[0]
     doc_rep = np.repeat(idx, bands)
     return pa.table(
         {
@@ -342,7 +345,7 @@ def explode_lsh_bands(
                 np.tile(np.arange(bands, dtype=np.int32), len(idx))
             ),
             "band_hash": pa.array(
-                bh[idx].ravel().astype(np.int64), type=pa.int64()
+                bh.ravel().astype(np.int64), type=pa.int64()
             ),
             id_col: pc.take(batch[id_col], pa.array(doc_rep)),
         }
@@ -421,13 +424,14 @@ def add_simhash(
         starts = np.zeros(n_rows, dtype=np.int64)
         np.cumsum(counts[:-1], out=starts[1:])
         nonempty = counts > 0
-        acc = np.add.reduceat(
-            signs, np.clip(starts, 0, max(len(seg_d) - 1, 0)), axis=0
-        )
+        # reduceat ONLY over non-empty segments' starts: clipping a
+        # trailing-empty row's start (== len) into range would truncate
+        # the PRECEDING segment's range (the ADVICE-r1 reduceat trap)
+        acc = np.add.reduceat(signs, starts[nonempty], axis=0)
         sketch = ((acc > 0).astype(np.uint64) << _SH_SHIFTS[None, :]).sum(
             axis=1
         ) >> np.uint64(1)
-        out[nonempty] = sketch[nonempty].astype(np.int64)
+        out[nonempty] = sketch.astype(np.int64)
     return batch.append_column(out_col, pa.array(out, type=pa.int64()))
 
 

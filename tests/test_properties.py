@@ -73,3 +73,102 @@ def test_strict_arity_drop(fields, required):
     t = pa.table({"line": [" ".join(fields)]})
     out = split_fields(t, text_col="line", max_fields=required, strict=True)
     assert out.num_rows == (1 if len(fields) >= required else 0)
+
+
+# --- vectorized token/text kernels (round 2) --------------------------------
+
+texty = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs",), whitelist_characters=" \t"
+    ),
+    min_size=0,
+    max_size=80,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(texts=st.lists(texty, min_size=1, max_size=8))
+def test_batch_shingles_equals_scalar(texts):
+    import numpy as np
+
+    from logpipe_ray.stages.dedup import batch_shingles, word_shingles
+
+    off, sh = batch_shingles(pa.array(texts, type=pa.string()))
+    for i, t in enumerate(texts):
+        assert np.array_equal(np.sort(word_shingles(t)), sh[off[i] : off[i + 1]]), t
+
+
+@settings(max_examples=150, deadline=None)
+@given(texts=st.lists(texty, min_size=1, max_size=8))
+def test_batch_simhash_equals_scalar(texts):
+    from logpipe_ray.stages.dedup import add_simhash, simhash64
+
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts))), "text": pa.array(texts)}
+    )
+    assert add_simhash(t)["simhash"].to_pylist() == [simhash64(x) for x in texts]
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    lists=st.lists(
+        st.lists(st.integers(0, 50256), min_size=0, max_size=30),
+        min_size=1,
+        max_size=6,
+    ),
+    chunk=st.integers(1, 7),
+)
+def test_chunk_tokens_partitions_exactly(lists, chunk):
+    from logpipe_ray.stages.packing import chunk_tokens
+
+    b = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(len(lists))]),
+            "tokens": pa.array(lists, type=pa.list_(pa.int32())),
+        }
+    )
+    out = chunk_tokens(b, chunk=chunk)
+    # chunks reconstruct each doc exactly: lengths sum to n_tok, sums to total
+    per_doc_len = {f"d{i}": 0 for i in range(len(lists))}
+    per_doc_sum = {f"d{i}": 0 for i in range(len(lists))}
+    last_idx = {}
+    for d, ci, cl, cs in zip(
+        out["doc_id"].to_pylist(),
+        out["chunk_idx"].to_pylist(),
+        out["chunk_len"].to_pylist(),
+        out["chunk_sum"].to_pylist(),
+    ):
+        assert 1 <= cl <= chunk
+        assert ci == last_idx.get(d, -1) + 1  # contiguous, ordered
+        last_idx[d] = ci
+        per_doc_len[d] += cl
+        per_doc_sum[d] += cs
+    for i, toks in enumerate(lists):
+        assert per_doc_len[f"d{i}"] == len(toks)
+        assert per_doc_sum[f"d{i}"] == sum(toks)
+
+
+@settings(max_examples=100, deadline=None)
+@given(texts=st.lists(texty, min_size=1, max_size=6))
+def test_repetition_stats_match_counter(texts):
+    from collections import Counter
+
+    from logpipe_ray.stages.text_analysis import repetition_stats
+
+    b = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(len(texts))]),
+            "text": pa.array(texts),
+        }
+    )
+    out = repetition_stats(b)
+    for i, t in enumerate(texts):
+        ws = t.split(" ")
+        wc = Counter(ws)
+        bg = Counter(zip(ws, ws[1:]))
+        assert out["n_words"][i].as_py() == len(ws)
+        assert out["n_dup_words"][i].as_py() == len(ws) - len(wc)
+        assert out["top_word_count"][i].as_py() == max(wc.values())
+        assert out["top_bigram_count"][i].as_py() == (
+            max(bg.values()) if bg else 0
+        )
