@@ -862,6 +862,26 @@ def multimodal_meta(sf_dir: str):
 
 
 @query(
+    "bigram_topk",
+    """SELECT b AS bigram, CAST(count(*) AS BIGINT) AS n
+       FROM (SELECT unnest(list_transform(range(1, len(ws)),
+                                          i -> ws[i] || ' ' || ws[i+1])) AS b
+             FROM (SELECT string_split(text, ' ') AS ws FROM documents))
+       GROUP BY b ORDER BY n DESC, b LIMIT 50""",
+)
+def bigram_topk(sf_dir: str):
+    """Corpus bigram vocabulary top-50: per-batch value_counts PARTIALS
+    → small groupby sum → tiny sort; tie-break (n desc, bigram asc)
+    matches the oracle."""
+    from logpipe_ray.stages.text_analysis import bigram_count_partials
+
+    ds = _read(sf_dir, "documents", ["text"])
+    partials = ds.map_batches(bigram_count_partials, batch_format="pyarrow")
+    agg = partials.groupby("bigram").aggregate(Sum("n", alias_name="n"))
+    return agg.sort(["n", "bigram"], descending=[True, False]).limit(50)
+
+
+@query(
     "train_val_split",
     """SELECT doc_id,
               CASE WHEN ((abs(doc_id) % 100000007) * 2654435761) % 100 < 95

@@ -124,6 +124,40 @@ def repetition_stats(
     )
 
 
+def bigram_count_partials(
+    batch: pa.Table, *, text_col: str = "text"
+) -> pa.Table:
+    """Per-batch word-bigram counts (the corpus n-gram statistics
+    pre-aggregation: only already-combined (bigram, n) rows enter the
+    vocabulary shuffle, never the corpus). Split semantics mirror
+    DuckDB ``string_split(text, ' ')``; vectorized via pandas
+    ``value_counts`` over the in-doc adjacent word pairs."""
+    import pandas as pd
+
+    words = pc.split_pattern(batch[text_col], " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    offsets = words.offsets.to_numpy().astype(np.int64)
+    flat = words.values.to_numpy(zero_copy_only=False)
+    flat = flat[offsets[0] : offsets[-1]]
+    offsets = offsets - offsets[0]
+    n_docs = len(offsets) - 1
+    seg = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(offsets))
+    if len(seg) < 2:
+        return pa.table(
+            {"bigram": pa.array([], type=pa.string()), "n": pa.array([], type=pa.int64())}
+        )
+    adj = seg[1:] == seg[:-1]
+    bg = pd.Series(flat[:-1][adj]).str.cat(pd.Series(flat[1:][adj]), sep=" ")
+    vc = bg.value_counts()
+    return pa.table(
+        {
+            "bigram": pa.array(vc.index.to_numpy(), type=pa.string()),
+            "n": pa.array(vc.to_numpy(), type=pa.int64()),
+        }
+    )
+
+
 # --- language ID (stateful actor-pool stage) -------------------------------
 
 _LANG_STOPWORDS = {
