@@ -315,15 +315,30 @@ def ensure_dedup_corpus(sf_dir: str, expand: int) -> tuple[str, int, int]:
             }
         )
 
-    os.makedirs(f"{cache}/d", exist_ok=True)
+    import glob as _g
+    import shutil as _sh
+
+    import pyarrow.parquet as _pq
+
+    if os.path.exists(cache):  # partial leftovers from a pre-marker crash
+        _sh.rmtree(cache, ignore_errors=True)
+    # write into a tmp dir and publish with an atomic rename: a crash
+    # mid-generation must not leave a file set a rerun would silently
+    # double-write into (duplicate doc_ids, wrong recall)
+    tmp = f"{cache}.tmp-{os.getpid()}"
+    _sh.rmtree(tmp, ignore_errors=True)
+    os.makedirs(f"{tmp}/d", exist_ok=True)
     ds = base.map_batches(expand_batch, batch_format="pyarrow", batch_size=64)
-    ds.write_parquet(f"{cache}/d", compression="zstd", compression_level=1)
-    n_docs = ds.count()
+    ds.write_parquet(f"{tmp}/d", compression="zstd", compression_level=1)
+    # count from the written footers (ds.count() would re-execute the
+    # whole expansion pipeline)
+    n_docs = sum(
+        _pq.read_metadata(f).num_rows for f in _g.glob(f"{tmp}/d/*.parquet")
+    )
     n_planted = n_docs - n_base * expand
-    # minhash_lsh_pipeline reads {dir}/documents.parquet — symlink-free:
-    # point a tiny manifest at the real files via a directory read
-    with open(marker, "w") as f:
+    with open(f"{tmp}/meta.json", "w") as f:
         json.dump({"n_docs": n_docs, "n_planted": n_planted}, f)
+    os.rename(tmp, cache)
     return cache, n_docs, n_planted
 
 

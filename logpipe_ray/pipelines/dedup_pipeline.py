@@ -52,12 +52,9 @@ _PROC_CACHE: dict[str, object] = {}
 
 
 def _resolve(ref):
-    if isinstance(ref, ray.ObjectRef):
-        key = ref.hex()
-        if key not in _PROC_CACHE:
-            _PROC_CACHE[key] = ray.get(ref)
-        return _PROC_CACHE[key]
-    return ref
+    from logpipe_ray.util import bounded_resolve
+
+    return bounded_resolve(_PROC_CACHE, ref)
 
 
 class ShingleFilter:
@@ -146,8 +143,15 @@ def candidate_pairs(
             )
         return b
 
-    band_rows = ds.map_batches(explode, batch_format="pyarrow").map_batches(
-        _i64_keys, batch_format="pyarrow"
+    # materialize: band_rows feeds TWO consumers (the bucket-count
+    # aggregate and the hot join) and Ray Data re-executes lineage per
+    # consumer — without this the sketch stage (the dominant CPU cost)
+    # runs twice. Footprint is 3 int64s × bands per doc (~384 B/doc at
+    # 16 bands), far smaller than the corpus text it replaces.
+    band_rows = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .map_batches(_i64_keys, batch_format="pyarrow")
+        .materialize()
     )
     hot_partitions = _join_partitions(None, cap=16)
 
@@ -308,10 +312,15 @@ def simhash_near_pairs(
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    hashed = ds.map_batches(
-        lambda b: add_simhash(b).select(["doc_id", "simhash"]),
-        batch_format="pyarrow",
-    )
+    def sketch(b: pa.Table) -> pa.Table:
+        b = add_simhash(b).select(["doc_id", "simhash"])
+        # drop wordless docs (sketch 0): contentless docs share no
+        # evidence (same rule as the LSH path's shingle-less skip), and
+        # at scale they would all collide into one bucket per band —
+        # a quadratic blowup in simhash_bucket_pairs
+        return b.filter(pc.not_equal(b["simhash"], 0))
+
+    hashed = ds.map_batches(sketch, batch_format="pyarrow")
     band_rows = hashed.map_batches(
         partial(simhash_band_explode, bands=bands, band_bits=band_bits),
         batch_format="pyarrow",

@@ -1284,13 +1284,15 @@ def events_cumsum(sf_dir: str):
     "events_lag_diff",
     """SELECT event_id,
               CAST(round(value*100) AS BIGINT)
-                - lag(CAST(round(value*100) AS BIGINT))
-                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                - COALESCE(lag(CAST(round(value*100) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                  CAST(round(value*100) AS BIGINT))
                 AS delta_cents
        FROM events""",
 )
 def events_lag_diff(sf_dir: str):
-    """LAG() window: per-user value delta vs the previous event."""
+    """LAG() window: per-user value delta vs the previous event (first
+    event per user → 0; pure int64, no nullable-int degradation)."""
     from logpipe_ray.stages.window import lag_diff_by_key
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])

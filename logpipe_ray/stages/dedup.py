@@ -281,7 +281,10 @@ def _band_hashes_matrix(sigs: np.ndarray, bands: int) -> np.ndarray:
     hashes, vectorized (Horner over each band's rows + avalanche)."""
     n, k = sigs.shape
     rows = k // bands
-    rs = sigs.astype(np.uint64).reshape(n, bands, rows)
+    # floor semantics for k % bands != 0: the signature tail beyond
+    # bands*rows is ignored (the pre-vectorization band_keys sliced
+    # per-band and never touched it either)
+    rs = sigs[:, : bands * rows].astype(np.uint64).reshape(n, bands, rows)
     h = np.zeros((n, bands), dtype=np.uint64)
     for j in range(rows):
         h = h * _MIX_P + rs[:, :, j]

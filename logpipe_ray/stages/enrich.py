@@ -79,12 +79,9 @@ class BroadcastEnricher:
         self.default = dict(default)
 
     def _routes(self) -> Mapping[str, Mapping[str, str]]:
-        if isinstance(self.routes_ref, ray.ObjectRef):
-            key = self.routes_ref.hex()
-            if key not in _PROC_CACHE:
-                _PROC_CACHE[key] = ray.get(self.routes_ref)
-            return _PROC_CACHE[key]
-        return self.routes_ref
+        from logpipe_ray.util import bounded_resolve
+
+        return bounded_resolve(_PROC_CACHE, self.routes_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return enrich_batch(

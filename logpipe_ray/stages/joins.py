@@ -27,12 +27,9 @@ _PROC_CACHE: dict[str, object] = {}
 
 
 def _resolve(ref):
-    if isinstance(ref, ray.ObjectRef):
-        key = ref.hex()
-        if key not in _PROC_CACHE:
-            _PROC_CACHE[key] = ray.get(ref)
-        return _PROC_CACHE[key]
-    return ref
+    from logpipe_ray.util import bounded_resolve
+
+    return bounded_resolve(_PROC_CACHE, ref)
 
 
 class BroadcastJoiner:

@@ -99,7 +99,11 @@ def pack_by_token_budget(
             cols[c] = b[c]
         return pa.table(cols)
 
-    keyed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    # materialize: keyed feeds both prefix-sum levels, and Ray Data
+    # re-executes lineage per consumer — without this the entire
+    # upstream (e.g. the dedup shuffle in docs_to_training_packs) runs
+    # twice. Only the 4 projected key columns are held, never payloads.
+    keyed = ds.map_batches(add_bucket, batch_format="pyarrow").materialize()
 
     # level 1: per-(source, ordered-bucket) token totals — a SMALL table
     totals = (
@@ -121,10 +125,9 @@ def pack_by_token_budget(
     # (resolved once per worker process, not once per group — map_groups
     # calls the UDF per group and a ray.get re-deserializes every time)
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        key = off_ref.hex()
-        if key not in _PROC_CACHE:
-            _PROC_CACHE[key] = ray.get(off_ref)
-        offs = _PROC_CACHE[key]
+        from logpipe_ray.util import bounded_resolve
+
+        offs = bounded_resolve(_PROC_CACHE, off_ref)
         g = g.sort_values(id_col)
         base = offs[(g["source"].iloc[0], int(g["bucket"].iloc[0]))]
         excl = base + g["n_tok"].cumsum().to_numpy(dtype=np.int64) - g[

@@ -38,7 +38,13 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 class BruteForceKnn:
-    """Per-batch corpus × broadcast-queries cosine top-k (task mode)."""
+    """Per-batch corpus × broadcast-queries cosine top-k (task mode).
+
+    ``cell_gate``: optional ``(centroids_ref, per_query_cells)`` — when
+    set, each corpus row is assigned its nearest centroid and only
+    counts for queries whose own probed-cell set contains it (the IVF
+    per-query semantics; rows outside a query's cells are masked to
+    -inf, never merely 'outside the union of all queries' cells')."""
 
     def __init__(
         self,
@@ -47,12 +53,15 @@ class BruteForceKnn:
         vec_col: str = "embedding",
         id_col: str = "vec_id",
         k: int = 5,
+        cell_gate=None,
     ):
         self.queries_ref = queries_ref
         self.vec_col = vec_col
         self.id_col = id_col
         self.k = k
+        self.cell_gate = cell_gate
         self._cache = None
+        self._cents = None
 
     def _queries(self):
         if self._cache is None:
@@ -64,6 +73,22 @@ class BruteForceKnn:
             self._cache = (q["ids"], _normalize(np.asarray(q["matrix"])))
         return self._cache
 
+    def _gate(self, mat: np.ndarray, n_queries: int) -> np.ndarray | None:
+        if self.cell_gate is None:
+            return None
+        cents_ref, q_cells = self.cell_gate
+        if self._cents is None:
+            self._cents = (
+                ray.get(cents_ref)
+                if isinstance(cents_ref, ray.ObjectRef)
+                else cents_ref
+            )
+        assign = np.argmax(mat @ self._cents.T, axis=1)
+        allowed = np.zeros((len(assign), n_queries), dtype=bool)
+        for qi, cells in enumerate(q_cells):
+            allowed[:, qi] = np.isin(assign, list(cells))
+        return allowed
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         """Emit per-batch partial top-k: (query_id, neighbor_id, cosine).
 
@@ -73,14 +98,17 @@ class BruteForceKnn:
         ids = np.asarray(batch[self.id_col].to_pylist())
         mat = _normalize(_matrix(batch[self.vec_col]))
         sims = mat @ q_mat.T  # (n_corpus, n_queries)
+        allowed = self._gate(mat, len(q_ids))
+        if allowed is not None:
+            sims = np.where(allowed, sims, -np.inf)
         out_q, out_n, out_s = [], [], []
         k = min(self.k, len(ids))
         for qi, qid in enumerate(q_ids):
             col = sims[:, qi]
             top = np.argpartition(-col, k - 1)[:k] if k < len(ids) else np.arange(len(ids))
             for t in top:
-                if ids[t] == qid:
-                    continue  # exclude self-match
+                if ids[t] == qid or col[t] == -np.inf:
+                    continue  # exclude self-match / gated-out rows
                 out_q.append(qid)
                 out_n.append(int(ids[t]))
                 out_s.append(float(col[t]))
@@ -102,6 +130,7 @@ def knn_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     batch_size: int = 4096,
+    cell_gate=None,
 ) -> ray.data.Dataset:
     """Global top-k neighbors per query: partial top-k per batch →
     per-query merge (pandas sort inside map_groups) → ranked rows
@@ -110,7 +139,9 @@ def knn_topk(
 
     ref = ray.put({"ids": list(query_ids), "matrix": np.asarray(query_matrix)})
     partials = ds.map_batches(
-        BruteForceKnn(ref, vec_col=vec_col, id_col=id_col, k=k + 1),
+        BruteForceKnn(
+            ref, vec_col=vec_col, id_col=id_col, k=k + 1, cell_gate=cell_gate
+        ),
         batch_format="pyarrow",
         batch_size=batch_size,
     )
@@ -252,11 +283,16 @@ def ivf_knn(
     matrix); a query scans only its ``nprobe`` nearest centroid cells,
     then exact cosine top-k over the scanned rows.
 
-    ``nprobe == n_clusters`` probes every cell — the filter passes all
+    ``nprobe == n_clusters`` probes every cell — the gate passes all
     rows and the result equals brute-force :func:`knn_topk` exactly
     (that equivalence and the recall at partial probe are pytest
     properties). Centroids come from a bounded driver-side sample
     (``ds.limit(sample_limit)``); assignment and scan are distributed.
+
+    Semantics are PER QUERY: a corpus row counts for a query only if
+    the row's cell is in that query's own ``nprobe`` nearest cells (the
+    scan prunes to the union of all queries' cells purely as an I/O
+    optimization — the scoring gate enforces per-query membership).
     """
     sample_tbl = pa.concat_tables(
         ray.get(ds.limit(sample_limit).to_arrow_refs())
@@ -266,11 +302,13 @@ def ivf_knn(
     q_mat = _normalize(np.asarray(query_matrix, dtype=np.float64))
     nprobe = min(nprobe, cents.shape[0])
     q_sims = q_mat @ cents.T  # (n_queries, k)
-    probed = set()
-    for row in q_sims:
-        probed.update(np.argsort(-row)[:nprobe].tolist())
+    q_cells = [
+        frozenset(np.argsort(-row)[:nprobe].tolist()) for row in q_sims
+    ]
+    probed_arr = np.fromiter(
+        sorted(set().union(*q_cells)), dtype=np.int64
+    )
     cents_ref = ray.put(cents)
-    probed_arr = np.fromiter(sorted(probed), dtype=np.int64)
 
     def cell_filter(b: pa.Table) -> pa.Table:
         c = ray.get(cents_ref)
@@ -278,7 +316,15 @@ def ivf_knn(
         return b.filter(pa.array(np.isin(assign, probed_arr)))
 
     scanned = ds.map_batches(cell_filter, batch_format="pyarrow")
-    return knn_topk(scanned, query_ids, query_matrix, k=k, vec_col=vec_col, id_col=id_col)
+    return knn_topk(
+        scanned,
+        query_ids,
+        query_matrix,
+        k=k,
+        vec_col=vec_col,
+        id_col=id_col,
+        cell_gate=(cents_ref, q_cells),
+    )
 
 
 def _pair_topk_from_sims(

@@ -103,15 +103,20 @@ def repetition_stats(
     top_word = np.zeros(n_docs, dtype=np.int64)
     np.maximum.at(top_word, pseg, cnt)
 
-    # bigrams: adjacent word-code pairs within a doc
+    # bigrams: adjacent word-code pairs within a doc. The (doc, bigram)
+    # composite key is built from INTERNED bigram codes, not v² —
+    # n_docs * v² silently wraps int64 for large batches (1e5 docs ×
+    # 1e7 words), while n_docs * n_unique_bigrams is bounded by the
+    # batch's word count.
     top_bigram = np.zeros(n_docs, dtype=np.int64)
     if len(seg) > 1:
         adj = seg[1:] == seg[:-1]
         bcode = inv[:-1][adj].astype(np.int64) * v + inv[1:][adj]
         bseg = seg[1:][adj]
-        bkey = bseg * (v * v) + bcode
-        ub, bcnt = np.unique(bkey, return_counts=True)
-        np.maximum.at(top_bigram, (ub // (v * v)).astype(np.int64), bcnt)
+        _, bint = np.unique(bcode, return_inverse=True)
+        nb = np.int64(bint.max() + 1) if len(bint) else np.int64(1)
+        ub, bcnt = np.unique(bseg * nb + bint, return_counts=True)
+        np.maximum.at(top_bigram, (ub // nb).astype(np.int64), bcnt)
 
     return pa.table(
         {

@@ -228,18 +228,21 @@ def lag_diff_by_key(
     id_col: str = "event_id",
 ) -> ray.data.Dataset:
     """Per-key lead/lag delta in (ts, id) order: each event's cents
-    value minus the previous event's (first event per key → null) —
-    the LAG() window restatement (co-locate by key, order within the
-    group; same partitioning contract as cumulative_sum_by_key)."""
+    value minus the previous event's (first event per key → 0, via the
+    COALESCE(lag(...), cents) convention, keeping the column pure
+    int64 — nullable ints degrade to float64 through pandas/Arrow and
+    break the integer-cents oracle rule) — the LAG() window
+    restatement (co-locate by key, order within the group; same
+    partitioning contract as cumulative_sum_by_key)."""
 
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([ts_col, id_col])
-        cents = pd.Series(cents_half_away(g[value_col]))
-        delta = cents - cents.shift(1)
+        cents = np.asarray(cents_half_away(g[value_col]), dtype=np.int64)
+        delta = np.diff(cents, prepend=cents[:1] if len(cents) else 0)
         return pd.DataFrame(
             {
                 id_col: g[id_col].astype("int64").to_numpy(),
-                "delta_cents": delta.astype("Int64").to_numpy(),
+                "delta_cents": delta,
             }
         )
 

@@ -37,6 +37,23 @@ def cluster_cpus(default: int = 8, retries: int = 20) -> int:
     return default
 
 
+def bounded_resolve(cache: dict, ref, max_entries: int = 8):
+    """Resolve a broadcast value (plain object or ``ObjectRef``) through
+    a small per-process FIFO cache: ``ray.get`` at most once per ref
+    per worker, bounded so long-lived workers serving many pipelines
+    don't accumulate dead broadcast objects indefinitely (one worker
+    can interleave tasks of several stages, so a single-entry cache
+    would thrash — FIFO of a few entries covers the live set)."""
+    if not isinstance(ref, ray.ObjectRef):
+        return ref
+    key = ref.hex()
+    if key not in cache:
+        while len(cache) >= max_entries:
+            cache.pop(next(iter(cache)))
+        cache[key] = ray.get(ref)
+    return cache[key]
+
+
 def pool_size(
     *, per_actor_cpus: float = 1.0, reserve_cpus: int = 2, cap: int | None = None
 ) -> int:

@@ -294,7 +294,13 @@ class TestSimhashBandedSearch:
                 f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
             )
         )
-        rows = list(zip(t["doc_id"].to_pylist(), t["simhash"].to_pylist()))
+        # wordless docs (sketch 0) are excluded by the pipeline —
+        # contentless docs share no evidence
+        rows = [
+            (i, h)
+            for i, h in zip(t["doc_id"].to_pylist(), t["simhash"].to_pylist())
+            if h != 0
+        ]
         expect = set()
         for (ia, ha), (ib, hb) in itertools.combinations(rows, 2):
             d = hamming64(ha, hb)

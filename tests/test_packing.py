@@ -182,8 +182,9 @@ class TestIvfAnn:
         assert brute.equals(full)
 
     def test_partial_probe_recall(self, sf_dir):
-        """Measured on this fixture: recall 0.48@nprobe=1, 0.8@2, 1.0@4
-        of 8 cells; assert with margin."""
+        """Measured on this fixture with STRICT per-query cell
+        membership: recall 0.36@nprobe=1, 0.56@2, 0.76@4 of 8 cells;
+        assert with margin."""
         import ray.data
 
         from logpipe_ray.pipelines.queries import _query_vectors
@@ -195,7 +196,7 @@ class TestIvfAnn:
         )
         brute = knn_topk(ds, qids, qmat, k=5).to_pandas()
         bs = set(zip(brute["query_id"], brute["neighbor_id"]))
-        for nprobe, floor in ((2, 0.6), (4, 0.9)):
+        for nprobe, floor in ((2, 0.45), (4, 0.65)):
             ann = ivf_knn(
                 ds, qids, qmat, k=5, n_clusters=8, nprobe=nprobe
             ).to_pandas()
