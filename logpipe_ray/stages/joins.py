@@ -125,6 +125,44 @@ def distinct_keys(ds: ray.data.Dataset, key_col: str) -> pa.Array:
     return pa.array(sorted(vals))
 
 
+def join_partitions(
+    *,
+    small_rows: int | None = None,
+    requested: int | None = None,
+    cap: int = 16,
+    rows_per_partition: int = 64,
+) -> int:
+    """Partition count for a hash-partitioned ``Dataset.join``, bounded
+    two ways:
+
+    - **above by cluster size**: every Ray Data ``JoinOperator``
+      partition reserves ~2 GB of logical executor memory up front, so
+      a partition count sized for a big cluster deadlocks a small one
+      (observed at num_cpus=8 in r2).
+    - **above by the small side's row count**: Ray's hash-shuffle
+      aggregator builds a SCHEMA-LESS empty table for any partition
+      that received zero batches of one side, and pyarrow's join then
+      throws ``ArrowInvalid: No match ... FieldRef.Name(<key>)`` (the
+      r2 ``dedup_minhash_lsh`` crash at num_cpus=32 with ~50 candidate
+      rows). ``rows_per_partition=64`` makes an empty partition
+      statistically impossible (p · (1-1/p)^(64p) ≈ p·e⁻⁶⁴) while never
+      binding for genuinely large joins, where CPUs cap first.
+
+    An explicit ``requested`` replaces the cluster-CPU base but is
+    still clamped by ``small_rows`` — a pinned count must not be able
+    to re-introduce the empty-partition crash.
+    """
+    if requested is not None:
+        base = requested
+    else:
+        from logpipe_ray.util import cluster_cpus
+
+        base = min(cluster_cpus(), cap)
+    if small_rows is not None:
+        base = min(base, -(-small_rows // rows_per_partition))
+    return max(2, base)
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -133,6 +171,7 @@ def hash_join(
     right_on: str | tuple[str, ...] | None = None,
     join_type: str = "inner",
     num_partitions: int | None = None,
+    small_rows: int | None = None,
 ) -> ray.data.Dataset:
     """Large×large hash-partitioned join (both sides shuffle on the key).
 
@@ -144,12 +183,14 @@ def hash_join(
     dominates (see stages.route.add_salt). Default scales with cluster
     CPUs — each JoinOperator partition reserves ~2 GB of logical
     executor memory up front, so a partition count sized for a big
-    cluster deadlocks a small one (see BASELINE.md r2 notes).
+    cluster deadlocks a small one (see BASELINE.md r2 notes). Pass
+    ``small_rows`` (a count of the smaller input, if the caller has
+    one) so tiny joins can't hit the empty-partition crash — full
+    sizing policy in :func:`join_partitions`.
     """
-    if num_partitions is None:
-        from logpipe_ray.util import cluster_cpus
-
-        num_partitions = max(2, min(cluster_cpus(), 16))
+    num_partitions = join_partitions(
+        requested=num_partitions, small_rows=small_rows
+    )
     on_t = (on,) if isinstance(on, str) else tuple(on)
     r_t = (
         None

@@ -1,6 +1,6 @@
 """Simulate the graft driver's verify pass against __ray_entry__.py.
 
-Usage: python scripts/driver_sim.py [sf_dir]
+Usage: python scripts/driver_sim.py [sf_dir] [num_cpus]
 
 Mirrors the driver: ray.init FIRST, then import __ray_entry__, call
 entry(), then run each queries()[name](sf_dir) side-by-side with
@@ -19,6 +19,11 @@ import ray
 import ray.data
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+# MUST default to the driver's own CPU count (32): every CPU-dependent
+# sizing path (join partitions, pool sizes) has to be exercised at the
+# cluster size the driver actually uses — the r2 dedup_minhash_lsh crash
+# shipped precisely because driver_sim ran at 8 while the driver ran 32.
+NUM_CPUS = int(sys.argv[2]) if len(sys.argv) > 2 else 32
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
@@ -43,7 +48,10 @@ def canon(df: pd.DataFrame) -> tuple[int, list, str]:
 
 def main():
     ray.init(
-        address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR"
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        logging_level="ERROR",
     )
     ray.data.DataContext.get_current().enable_progress_bars = False
 
