@@ -986,6 +986,44 @@ def multimodal_frames(sf_dir: str):
     )
 
 
+@query(
+    "multimodal_decode_real",
+    """WITH p AS (
+         SELECT doc_id, octet_length(encode(text)) AS nb FROM documents
+       ), d AS (
+         SELECT doc_id, 1 + nb % 64 AS w, 1 + (nb * 7) % 64 AS h FROM p
+       )
+       SELECT doc_id,
+              CAST(54 + ((w*3+3)//4*4) * h AS BIGINT) AS payload_bytes,
+              CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height
+       FROM d""",
+)
+def multimodal_decode_real(sf_dir: str):
+    """REAL image decode path (no codec library needed): synthesize
+    valid 24-bpp BMP payloads per document (vectorized header scatter,
+    stages/multimodal.encode_bmp_payload), then the actor-pool decoder
+    with ``real=True`` parses width/height back out of the actual
+    BITMAPINFOHEADER bytes. The oracle recomputes the dimensions and
+    the padded file size independently in SQL — the decoded values must
+    round-trip through real image bytes."""
+    from logpipe_ray.stages.multimodal import DecodeStub, encode_bmp_payload
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(encode_bmp_payload, batch_format="pyarrow", batch_size=4096)
+    decoded = ds.map_batches(
+        DecodeStub,
+        fn_constructor_kwargs={"real": True},
+        batch_format="pyarrow",
+        concurrency=2,
+        num_cpus=0.5,
+        batch_size=4096,
+    )
+    return decoded.map_batches(
+        lambda b: b.select(["doc_id", "payload_bytes", "width", "height"]),
+        batch_format="pyarrow",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Log-file text source (file → lines with per-stream counters)
 # ---------------------------------------------------------------------------
@@ -1141,6 +1179,52 @@ def log_lines_tail(sf_dir: str):
     part2 = collect(src_obj.read())
     src_obj.commit()
     return pa.concat_tables([part1, part2])
+
+
+@query(
+    "exec_source",
+    # identical oracle to log_lines_source: the exec source `cat`ing the
+    # fixture files must produce exactly the file source's rows/offsets
+    """SELECT source || '.log' AS source,
+              CAST(row_number() OVER w AS BIGINT) AS line_no,
+              CAST(sum(octet_length(encode(text)) + 1) OVER w
+                   - (octet_length(encode(text)) + 1) AS BIGINT) AS byte_offset,
+              CAST(length(text) AS BIGINT) AS n_chars
+       FROM documents
+       WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING)""",
+)
+def exec_source(sf_dir: str):
+    """Command-output source (``logpipe-input-exec`` analog,
+    src-plugins/logpipe-input-exec.c:85-228): the command list is the
+    work list — one Ray task per command, each subprocessing its command
+    and line-splitting stdout with per-command line/offset counters.
+    Here each command ``cat``s one fixture log file, so the result must
+    equal the file source's rows exactly (source-equivalence oracle)."""
+    import glob
+    import os
+
+    from logpipe_ray.registry import SOURCES
+
+    d = _textsrc_fixture(sf_dir)
+    cmds = [
+        (os.path.basename(f), f"cat {f}")
+        for f in sorted(glob.glob(os.path.join(d, "*.log")))
+        if not os.path.basename(f).startswith(("_", "."))
+    ]
+    ds = SOURCES["exec"](cmds)
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["source"],
+                "line_no": b["line_no"],
+                "byte_offset": b["byte_offset"],
+                "n_chars": pc.cast(pc.utf8_length(b["line"]), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(prep, batch_format="pyarrow")
 
 
 @query(

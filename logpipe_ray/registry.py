@@ -95,6 +95,13 @@ def _src_log_lines(path: str, include: list | None = None, exclude: list | None 
     return read_log_lines(path, include=include, exclude=exclude)
 
 
+@register_source("exec")
+def _src_exec(cmds: list, **kw):
+    from logpipe_ray.sources.exec import read_exec
+
+    return read_exec(cmds, **kw)
+
+
 # --- stages (filters, in reference terms) ----------------------------------
 
 

@@ -30,36 +30,130 @@ def encode_payload(
     return batch.append_column(out_col, pc.cast(batch[text_col], pa.binary()))
 
 
+def encode_bmp_payload(
+    batch: pa.Table, *, text_col: str = "text", out_col: str = "payload"
+) -> pa.Table:
+    """Synthesize VALID 24-bpp BMP images as the payload column
+    (w = 1 + n_bytes(text) % 64, h = 1 + 7·n_bytes(text) % 64, black
+    pixels) — real, decodable image bytes built without any codec
+    library. Fully vectorized: per-row totals → one offsets cumsum →
+    one shared uint8 buffer with numpy scatter writes for every header
+    field; the payload column is a BinaryArray over that buffer
+    (no per-row Python, no bytes objects)."""
+    n = batch.num_rows
+    nb = (
+        pc.binary_length(pc.cast(batch[text_col], pa.binary()))
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    w = 1 + nb % 64
+    h = 1 + (nb * 7) % 64
+    stride = (w * 3 + 3) // 4 * 4  # BMP rows pad to 4-byte boundaries
+    img = stride * h
+    total = 54 + img
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(total, out=offsets[1:])
+    if offsets[-1] >= 2**31:
+        raise ValueError("batch too large for int32 binary offsets; lower batch_size")
+    buf = np.zeros(offsets[-1], dtype=np.uint8)
+    s = offsets[:-1]
+
+    def put_u32(off: int, val) -> None:
+        v = np.asarray(val, dtype=np.uint32)
+        for k in range(4):
+            buf[s + off + k] = ((v >> (8 * k)) & 0xFF).astype(np.uint8)
+
+    buf[s] = 0x42  # 'B'
+    buf[s + 1] = 0x4D  # 'M'
+    put_u32(2, total)  # file size
+    put_u32(10, 54)  # pixel data offset
+    put_u32(14, 40)  # BITMAPINFOHEADER size
+    put_u32(18, w)
+    put_u32(22, h)
+    buf[s + 26] = 1  # planes (uint16 LE)
+    buf[s + 28] = 24  # bits per pixel
+    put_u32(34, img)  # image size
+    put_u32(38, 2835)  # 72 DPI
+    put_u32(42, 2835)
+    payload = pa.Array.from_buffers(
+        pa.binary(),
+        n,
+        [None, pa.py_buffer(offsets.astype(np.int32)), pa.py_buffer(buf)],
+    )
+    return batch.append_column(out_col, payload)
+
+
+def _binary_view(col) -> tuple[np.ndarray, np.ndarray]:
+    """(absolute offsets int64[n+1], data uint8[]) view of a binary column."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offsets = np.frombuffer(
+        col.buffers()[1], dtype=np.int32, count=len(col) + 1, offset=col.offset * 4
+    ).astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    return offsets, data
+
+
 class DecodeStub:
     """Actor-pool decode stage (``map_batches(DecodeStub, concurrency=N,
     batch_size=small)``) — the real decoder's Ray-side shape.
 
     ``__init__`` is where a real implementation loads the codec/model
     once per actor. ``__call__`` emits typed metadata columns:
-    payload_bytes (int64), width, height (int64 — deterministic fakes
-    derived from the byte length; a real decoder reads the header).
+    payload_bytes, width, height (all int64).
+
+    ``real=True`` is a REAL decoder for the BMP container format: it
+    parses the BITMAPINFOHEADER (magic check + width/height at byte
+    offsets 18/22, int32 LE) straight out of the Arrow data buffer with
+    vectorized numpy gathers — no per-row Python, no codec library.
+    Compressed formats (JPEG/PNG/audio/video) would need codecs this
+    container doesn't ship, so non-BMP payloads under ``real=True``
+    raise ``ValueError`` instead of silently faking. ``real=False``
+    derives deterministic fake metadata from the byte length (plumbing
+    tests for arbitrary opaque payloads).
     """
 
     def __init__(self, *, real: bool = False):
-        if real:
-            raise NotImplementedError(
-                "image/audio codecs are not available in this container; "
-                "run with real=False for the deterministic stub"
-            )
         self.real = real
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         nbytes = pc.cast(pc.binary_length(batch["payload"]), pa.int64())
-        width = pc.add(pc.multiply(pc.cast(pc.bit_wise_and(nbytes, 1023), pa.int64()), 1), 64)
-        height = pc.add(
-            pc.cast(
-                pc.bit_wise_and(pc.multiply(nbytes, 31), 1023), pa.int64()
-            ),
-            64,
-        )
+        if self.real:
+            width, height = self._decode_bmp(batch["payload"])
+        else:
+            width = pc.add(
+                pc.cast(pc.bit_wise_and(nbytes, 1023), pa.int64()), 64
+            )
+            height = pc.add(
+                pc.cast(pc.bit_wise_and(pc.multiply(nbytes, 31), 1023), pa.int64()),
+                64,
+            )
         batch = batch.append_column("payload_bytes", nbytes)
         batch = batch.append_column("width", width)
         return batch.append_column("height", height)
+
+    @staticmethod
+    def _decode_bmp(col) -> tuple[pa.Array, pa.Array]:
+        n = len(col)
+        if n == 0:
+            empty = pa.array([], type=pa.int64())
+            return empty, empty
+        offsets, data = _binary_view(col)
+        lens = np.diff(offsets)
+        if (lens < 26).any():
+            raise ValueError("payload too short for a BMP header")
+        s = offsets[:-1]
+        if not ((data[s] == 0x42) & (data[s + 1] == 0x4D)).all():
+            raise ValueError(
+                "real decode supports BMP only in this container (no codec libs)"
+            )
+        hdr = data[s[:, None] + np.arange(18, 26)].astype(np.uint32)
+        w = hdr[:, 0] | hdr[:, 1] << 8 | hdr[:, 2] << 16 | hdr[:, 3] << 24
+        h = hdr[:, 4] | hdr[:, 5] << 8 | hdr[:, 6] << 16 | hdr[:, 7] << 24
+        # int32 sign: negative height encodes top-down row order
+        w = np.abs(w.astype(np.int32)).astype(np.int64)
+        h = np.abs(h.astype(np.int32)).astype(np.int64)
+        return pa.array(w), pa.array(h)
 
 
 class ResizeStub:

@@ -38,6 +38,20 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 
+def _resolve_fs(out_dir: str):
+    """(filesystem, path) for ``out_dir`` — the remote-sink analog of
+    logpipe-output-hdfs (logpipe-output-hdfs.c:343-429: same writer, a
+    filesystem handle instead of open(2)). A URI (``memory://``,
+    ``s3://``, ``hdfs://`` …) resolves through fsspec (pyarrow accepts
+    fsspec filesystems in ``pq.write_table``); a plain path stays on
+    the local filesystem (``None`` → pyarrow's default)."""
+    if "://" in out_dir:
+        import fsspec
+
+        return fsspec.core.url_to_fs(out_dir)
+    return None, out_dir
+
+
 def _sink_groups(batch: pa.Table, sink_col: str):
     """Yield (sink_value, subtable) pairs via dictionary-encode + mask."""
     enc = pc.dictionary_encode(batch[sink_col])
@@ -81,10 +95,18 @@ def write_routed_batch(
     """
     if drop_cols is None:
         drop_cols = (sink_col,)
+    fs, base = _resolve_fs(out_dir)
     part_sources, part_sinks, part_rows, part_sums = [], [], [], []
     for sink, sub in _sink_groups(batch, sink_col):
-        sink_dir = os.path.join(out_dir, f"sink={sink}")
-        os.makedirs(sink_dir, exist_ok=True)
+        sink_dir = (
+            f"{base.rstrip('/')}/sink={sink}"
+            if fs is not None
+            else os.path.join(base, f"sink={sink}")
+        )
+        if fs is not None:
+            fs.makedirs(sink_dir, exist_ok=True)
+        else:
+            os.makedirs(sink_dir, exist_ok=True)
         if file_tag is not None:
             # caller-supplied deterministic tag (e.g. the fragment id in
             # the resumable runner) — one file per sink per fragment
@@ -106,9 +128,13 @@ def write_routed_batch(
                 if n_slices == 1
                 else f"part-{tag}-r{si:04d}.parquet"
             )
+            dest = (
+                f"{sink_dir}/{name}" if fs is not None else os.path.join(sink_dir, name)
+            )
             pq.write_table(
                 part,
-                os.path.join(sink_dir, name),
+                dest,
+                filesystem=fs,
                 compression=compression,
                 compression_level=compression_level,
                 use_dictionary=False,

@@ -1,0 +1,151 @@
+"""Round-3 additions: exec source, real BMP decode, remote-fs writer.
+
+Reference parity targets:
+- exec source ↔ src-plugins/logpipe-input-exec.c:85-228 (popen → line
+  split buffer, drain-on-exit)
+- BMP decode ↔ the decode stage's real (non-stub) path
+- remote-fs writer ↔ logpipe-output-hdfs.c:343-429 (same writer, a
+  filesystem handle instead of open(2))
+"""
+
+import datetime
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from logpipe_ray.sources.exec import lines_table, read_exec
+from logpipe_ray.stages.multimodal import DecodeStub, encode_bmp_payload
+from logpipe_ray.stages.route import write_routed_batch
+from logpipe_ray.util import expand_path_template
+
+
+# --- exec source -----------------------------------------------------------
+
+
+def test_lines_table_offsets_and_eof_flush():
+    t = lines_table("s", b"alpha\nbeta\n\ngamma")  # no trailing newline
+    assert t["line"].to_pylist() == ["alpha", "beta", "", "gamma"]
+    assert t["line_no"].to_pylist() == [1, 2, 3, 4]
+    # byte_offset = start byte of each line in the raw stream
+    assert t["byte_offset"].to_pylist() == [0, 6, 11, 12]
+    # trailing newline → no phantom empty line
+    t2 = lines_table("s", b"alpha\nbeta\n")
+    assert t2["line"].to_pylist() == ["alpha", "beta"]
+    assert lines_table("s", b"").num_rows == 0
+
+
+def test_read_exec_one_task_per_command(ray_session):
+    ds = read_exec(
+        [("a", "printf 'x\\ny\\n'"), ("b", "printf 'z\\n'"), "echo solo"]
+    )
+    rows = sorted(
+        ds.take_all(), key=lambda r: (r["source"], r["line_no"])
+    )
+    assert [(r["source"], r["line_no"], r["line"]) for r in rows] == [
+        ("a", 1, "x"),
+        ("a", 2, "y"),
+        ("b", 1, "z"),
+        ("exec-2", 1, "solo"),
+    ]
+
+
+def test_read_exec_failure_raises(ray_session):
+    ds = read_exec(["false"])
+    with pytest.raises(Exception):
+        ds.take_all()
+    # check=False: failure tolerated, partial stdout still emitted
+    ds2 = read_exec(["printf 'p\\n'; false"], check=False)
+    assert [r["line"] for r in ds2.take_all()] == ["p"]
+
+
+# --- real BMP decode -------------------------------------------------------
+
+
+def test_bmp_roundtrip_matches_encoder_dims():
+    texts = ["", "a", "hello world", "x" * 200, "y" * 63]
+    batch = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    enc = encode_bmp_payload(batch)
+    out = DecodeStub(real=True)(enc)
+    for text, w, h, nb in zip(
+        texts,
+        out["width"].to_pylist(),
+        out["height"].to_pylist(),
+        out["payload_bytes"].to_pylist(),
+    ):
+        ew, eh = 1 + len(text) % 64, 1 + (len(text) * 7) % 64
+        stride = (ew * 3 + 3) // 4 * 4
+        assert (w, h) == (ew, eh)
+        assert nb == 54 + stride * eh
+
+
+def test_bmp_payloads_are_valid_headers():
+    batch = pa.table({"doc_id": [1], "text": ["some document text"]})
+    payload = encode_bmp_payload(batch)["payload"][0].as_py()
+    assert payload[:2] == b"BM"
+    assert int.from_bytes(payload[2:6], "little") == len(payload)
+    assert int.from_bytes(payload[10:14], "little") == 54
+    assert int.from_bytes(payload[28:30], "little") == 24
+
+
+def test_real_decode_rejects_non_bmp():
+    batch = pa.table({"payload": pa.array([b"not an image at all....."])})
+    with pytest.raises(ValueError, match="BMP"):
+        DecodeStub(real=True)(batch)
+
+
+def test_real_decode_empty_batch():
+    batch = pa.table({"payload": pa.array([], type=pa.binary())})
+    out = DecodeStub(real=True)(batch)
+    assert out.num_rows == 0
+    assert out["width"].type == pa.int64()
+
+
+# --- remote-filesystem routed writer --------------------------------------
+
+
+def _routed_batch() -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": ["a-1", "a-2", "b-1"],
+            "source": ["a.log", "a.log", "b.log"],
+            "sink": ["sink-web", "sink-db", "sink-web"],
+            "n_tok": [3, 4, 5],
+        }
+    )
+
+
+def test_write_routed_batch_memory_fs_roundtrip():
+    """URI out_dir → fsspec filesystem; files land remote-side and read
+    back row-identical (the output-hdfs URI plumbing, minus a real HDFS
+    which this sandbox doesn't have)."""
+    import fsspec
+
+    fs = fsspec.filesystem("memory")
+    out = "memory://lpr_remote_test"
+    if fs.exists("/lpr_remote_test"):
+        fs.rm("/lpr_remote_test", recursive=True)
+    counters = write_routed_batch(_routed_batch(), out_dir=out)
+    assert counters.num_rows == 3  # (source, sink) pairs
+    files = fs.glob("/lpr_remote_test/sink=*/part-*.parquet")
+    assert len(files) == 2  # one per sink for this single batch
+    got = pa.concat_tables(
+        pq.read_table(f, filesystem=fs) for f in sorted(files)
+    )
+    assert got.num_rows == 3
+    assert sorted(got["doc_id"].to_pylist()) == ["a-1", "a-2", "b-1"]
+    # sink column dropped from data files (hive path is authoritative)
+    assert "sink" not in got.column_names
+
+
+def test_write_routed_dated_dir_template(tmp_path):
+    """Dated-dir sink path (output-hdfs's %Y%M%D template analog)."""
+    when = datetime.datetime(2026, 8, 17, 13, 5, 9)
+    out = expand_path_template(str(tmp_path / "dt=%Y%M%D/hr=%h"), when)
+    assert out.endswith("dt=20260817/hr=13")
+    write_routed_batch(_routed_batch(), out_dir=out)
+    assert any(
+        f.endswith(".parquet")
+        for f in os.listdir(os.path.join(out, "sink=sink-web"))
+    )
