@@ -79,6 +79,12 @@ def run_flagship_bench(seq_dir: str, out_dir: str) -> dict:
     timings["n_out_files"] = len(_globf.glob(f"{out_dir}/sink=*/part-*.parquet"))
     del ds
     gc.collect()
+    # flush the ~10 GB of dirty pages the flagship just wrote BEFORE the
+    # next timer starts: otherwise the secondary pipelines race kernel
+    # writeback for disk bandwidth and their wall time measures the
+    # previous stage's leftovers (observed 10.7-21 s spread for the same
+    # resumable run; r2 regression was exactly this). sync() is untimed.
+    os.sync()
 
     # secondary: the resumable storage→storage fragment runner (the
     # 100 TB shape: blocks never transit the object store; manifest
@@ -97,6 +103,7 @@ def run_flagship_bench(seq_dir: str, out_dir: str) -> dict:
         finally:
             shutil.rmtree(out3, ignore_errors=True)
             gc.collect()
+            os.sync()  # same writeback barrier before the next timed stage
 
     # secondary: the explicit salted shuffle router (one all-to-all).
     # Measured on a 1/8 input subset: the full-shuffle path degrades

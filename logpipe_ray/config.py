@@ -34,10 +34,20 @@ from logpipe_ray.registry import SINKS, SOURCES, STAGES, ActorStage, DatasetStag
 
 
 def load_spec(path_or_dict: str | dict) -> dict:
+    """Load a pipeline spec; accepts GB18030-encoded config files.
+
+    The reference transcodes non-UTF-8 (GBK) config files before
+    parsing (src/config.c:428 iconv path); GB18030 is the superset
+    codec — a pure-ASCII or UTF-8 file decodes identically, CJK config
+    values decode correctly either way."""
     if isinstance(path_or_dict, dict):
         return path_or_dict
-    with open(path_or_dict) as f:
-        return json.load(f)
+    with open(path_or_dict, "rb") as f:
+        raw = f.read()
+    try:
+        return json.loads(raw.decode("utf-8"))
+    except UnicodeDecodeError:
+        return json.loads(raw.decode("gb18030"))
 
 
 def build_pipeline(spec: str | dict) -> Any:

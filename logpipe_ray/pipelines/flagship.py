@@ -24,9 +24,9 @@ from __future__ import annotations
 
 import ray
 import ray.data
-from ray.data.aggregate import Sum
 
 from logpipe_ray.routes import default_route_table
+from logpipe_ray.stages.smallagg import fold_partials, map_groups_typed
 from logpipe_ray.sources.sequences import synthesize_sequences
 from logpipe_ray.stages.enrich import BroadcastEnricher, Enricher
 from logpipe_ray.stages.parse import cut_route_key
@@ -86,10 +86,7 @@ def route_and_count(
         batch_format="pyarrow",
         batch_size=batch_size,
     )
-    return partials.groupby(["source", "sink"]).aggregate(
-        Sum("n_rows", alias_name="n_rows"),
-        Sum("sum_n_tok", alias_name="sum_n_tok"),
-    )
+    return fold_partials(partials, ["source", "sink"], ["n_rows", "sum_n_tok"])
 
 
 def build_enriched(
@@ -185,13 +182,22 @@ def route_shuffled(
             tbl.drop_columns(["salt"]), out_dir=out_dir, file_tag=tag
         )
 
-    partials = salted.groupby(["sink", "salt"]).map_groups(
-        write_group, batch_format="pyarrow"
+    counter_schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("sink", pa.string()),
+            ("n_rows", pa.int64()),
+            ("sum_n_tok", pa.int64()),
+        ]
     )
-    return partials.groupby(["source", "sink"]).aggregate(
-        Sum("n_rows", alias_name="n_rows"),
-        Sum("sum_n_tok", alias_name="sum_n_tok"),
+    partials = map_groups_typed(
+        salted,
+        ["sink", "salt"],
+        write_group,
+        counter_schema,
+        batch_format="pyarrow",
     )
+    return fold_partials(partials, ["source", "sink"], ["n_rows", "sum_n_tok"])
 
 
 def run_fused(
@@ -238,7 +244,4 @@ def run_fused(
     partials = seq_ds.map_batches(
         fused, batch_format="pyarrow", batch_size=batch_size
     )
-    return partials.groupby(["source", "sink"]).aggregate(
-        Sum("n_rows", alias_name="n_rows"),
-        Sum("sum_n_tok", alias_name="sum_n_tok"),
-    )
+    return fold_partials(partials, ["source", "sink"], ["n_rows", "sum_n_tok"])

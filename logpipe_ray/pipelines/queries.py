@@ -1227,6 +1227,73 @@ def exec_source(sf_dir: str):
     return ds.map_batches(prep, batch_format="pyarrow")
 
 
+def _topic_fixture(sf_dir: str) -> str:
+    """Documents as a 4-partition message-log topic (partition =
+    doc_id % 4, key = doc_id, value = text; messages in doc_id order,
+    one segment per partition) — the broker-side layout the consumer
+    reads."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from logpipe_ray.sources.kafka_log import write_topic_fixture
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    d = f"/tmp/lpr_topic_{tag}"
+    marker = os.path.join(d, "_SUCCESS")
+    if os.path.exists(marker):
+        return d
+    os.makedirs(d, exist_ok=True)
+    t = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .sort_by("doc_id")
+    )
+    msgs = [
+        (int(i) % 4, str(int(i)), s)
+        for i, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    ]
+    write_topic_fixture(d, msgs)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return d
+
+
+@query(
+    "kafka_log_source",
+    """SELECT CAST(doc_id % 4 AS BIGINT) AS partition,
+              CAST(row_number() OVER (PARTITION BY doc_id % 4
+                                      ORDER BY doc_id) - 1 AS BIGINT) AS offset,
+              CAST(doc_id AS BIGINT) AS key_id,
+              CAST(length(text) AS BIGINT) AS n_chars
+       FROM documents""",
+)
+def kafka_log_source(sf_dir: str):
+    """Partitioned message-log consumer (``logpipe-input-kafka`` analog,
+    src-plugins/logpipe-input-kafka.c:96-252): per-partition offset-
+    ordered delivery with commit-after-deliver offsets, over the
+    broker-style ``partition=N/segment-*.log`` layout. One segment per
+    partition here, so offset = in-partition row number."""
+    import tempfile
+
+    from logpipe_ray.sources.kafka_log import MessageLogSource
+
+    d = _topic_fixture(sf_dir)
+    src = MessageLogSource(d, tempfile.mkdtemp(prefix="lpr_topic_state_"))
+    ds = src.read()
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "partition": b["partition"],
+                "offset": b["offset"],
+                "key_id": pc.cast(b["key"], pa.int64()),
+                "n_chars": pc.cast(pc.utf8_length(b["value"]), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(prep, batch_format="pyarrow")
+
+
 @query(
     "events_sliding",
     """SELECT user_id, "window", count(*) AS n_events
@@ -1418,9 +1485,10 @@ def events_union(sf_dir: str):
         lambda b: b.filter(pc.equal(b["event_type"], "error")).select(["event_type"]),
         batch_format="pyarrow",
     )
-    return purchases.union(errors).groupby("event_type").aggregate(
-        Count(alias_name="n")
-    )
+    from logpipe_ray.stages.smallagg import count_partials, fold_partials
+
+    merged = purchases.union(errors)
+    return fold_partials(count_partials(merged, "event_type"), "event_type", "n")
 
 
 @query("events_approx_users", None)  # sketch estimate — tolerance-tested vs exact
@@ -1483,9 +1551,13 @@ def multijoin_nation_revenue(sf_dir: str):
        FROM documents GROUP BY source HAVING count(*) >= 20""",
 )
 def agg_having(sf_dir: str):
-    """Post-aggregation filter (HAVING): groupby → vectorized filter."""
+    """Post-aggregation filter (HAVING): per-block count partials →
+    tiny fold → vectorized filter (bounded key cardinality, so the
+    partial/combine shape beats a row shuffle at any scale)."""
+    from logpipe_ray.stages.smallagg import count_partials, fold_partials
+
     ds = _read(sf_dir, "documents", ["source"])
-    agg = ds.groupby("source").aggregate(Count(alias_name="n_docs"))
+    agg = fold_partials(count_partials(ds, "source", out_col="n_docs"), "source", "n_docs")
     return agg.map_batches(
         lambda b: b.filter(pc.greater_equal(b["n_docs"], 20)),
         batch_format="pyarrow",
@@ -1572,10 +1644,11 @@ def events_median(sf_dir: str):
             }
         )
 
-    return (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby("event_type")
-        .map_groups(med, batch_format="pandas")
+    from logpipe_ray.stages.smallagg import map_groups_typed
+
+    schema = pa.schema([("event_type", pa.string()), ("median_cents", pa.float64())])
+    return map_groups_typed(
+        ds.map_batches(prep, batch_format="pyarrow"), "event_type", med, schema
     )
 
 

@@ -102,6 +102,13 @@ def _src_exec(cmds: list, **kw):
     return read_exec(cmds, **kw)
 
 
+@register_source("message_log")
+def _src_message_log(topic_dir: str, state_dir: str, **kw):
+    from logpipe_ray.sources.kafka_log import MessageLogSource
+
+    return MessageLogSource(topic_dir, state_dir, **kw).read()
+
+
 # --- stages (filters, in reference terms) ----------------------------------
 
 

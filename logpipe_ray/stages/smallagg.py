@@ -1,0 +1,159 @@
+"""Bounded-cardinality aggregation without empty shuffle partitions.
+
+Ray Data's sort-based ``groupby().aggregate()`` / ``map_groups`` size
+their reduce side from the input BLOCK count, not the key cardinality.
+When keys number far fewer than blocks (counters over 16 sources,
+5 event types, ...), many reduce partitions receive zero rows, and the
+all-to-all operators emit ZERO-COLUMN empty blocks for them — the
+``RefBundle ... new schema: .`` executor warnings, and the exact
+empty-schema failure class that crashed pyarrow joins at 32 CPUs in
+round 2 (see stages/joins.py ``join_partitions``).
+
+Important Ray 2.49 fact (drives the design here): those schema-less
+empties CANNOT be repaired downstream — map operators deliberately
+pass empty input blocks through WITHOUT calling the UDF (workaround in
+ray/data/_internal/planner/plan_udf_map_op.py:453-462, with Ray's own
+``TODO(hchen): ... some all-to-all operators output empty blocks with
+no schema``). A typed-empty-returning UDF never runs on them. The only
+real fix is to not create over-partitioned all-to-alls in the first
+place:
+
+- :func:`fold_partials` — for aggregates whose per-block PARTIALS are
+  already tiny (counter tables, pre-binned histograms): coalesce the
+  partial blocks (plain ``repartition`` — a block-ref concat, not a
+  keyed shuffle) and combine them in one vectorized ``pyarrow``
+  ``group_by`` task. No keyed all-to-all → no empty reduce partitions
+  at all. At 100 TB the partials are (n_blocks × cardinality) rows —
+  for bounded-cardinality keys that is MBs, so one combine task is the
+  right cost; raise ``num_blocks`` for a two-level tree if cardinality
+  grows.
+- :func:`map_groups_typed` — ``groupby(k).map_groups(fn)`` restated as
+  ``sort(k)`` + per-block group-sliced UDF application (what Ray's
+  map_groups does under the hood, grouped_data.py
+  ``_apply_udf_to_groups``), with every produced block cast to the
+  DECLARED output schema — so this stage never *originates* an untyped
+  or schema-drifting block. (Blocks the sort itself emits empty are
+  passed through by Ray, per the workaround above — they are benign
+  for every consumer except pyarrow joins, which ``join_partitions``
+  guards by bounding the partition count.)
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def fold_partials(
+    partials: ray.data.Dataset,
+    keys: list[str] | str,
+    value_cols: list[str] | str,
+    *,
+    num_blocks: int = 1,
+) -> ray.data.Dataset:
+    """Sum ``value_cols`` per ``keys`` over already-partial blocks.
+
+    Equivalent to ``partials.groupby(keys).aggregate(Sum(c) for c in
+    value_cols)`` (with the output columns keeping their input names)
+    but with a fixed, tiny reduce side: no reduce partition can be
+    empty, so no zero-column blocks reach the streaming executor.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    value_cols = [value_cols] if isinstance(value_cols, str) else list(value_cols)
+    out_cols = keys + value_cols
+
+    def combine(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.select(out_cols)
+        g = b.group_by(keys).aggregate([(c, "sum") for c in value_cols])
+        g = g.rename_columns(
+            [c[: -len("_sum")] if c.endswith("_sum") else c for c in g.column_names]
+        )
+        return g.select(out_cols)
+
+    return partials.repartition(num_blocks).map_batches(
+        combine, batch_format="pyarrow", batch_size=None
+    )
+
+
+def count_partials(
+    ds: ray.data.Dataset,
+    keys: list[str] | str,
+    *,
+    out_col: str = "n",
+) -> ray.data.Dataset:
+    """Per-block vectorized count-by-key partials (the combiner half of
+    a distributed COUNT: at most ``cardinality`` rows leave any block)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.select(keys).append_column(
+                out_col, pa.array([], type=pa.int64())
+            )
+        g = b.group_by(keys).aggregate([([], "count_all")])
+        g = g.rename_columns(
+            [out_col if c == "count_all" else c for c in g.column_names]
+        )
+        return g.select(keys + [out_col])
+
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def _group_bounds(tbl: pa.Table, keys: list[str]) -> np.ndarray:
+    """Boundary indices of equal-key runs in a key-sorted table."""
+    n = tbl.num_rows
+    change = np.zeros(max(n - 1, 0), dtype=bool)
+    for k in keys:
+        col = tbl[k]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        v = col.to_numpy(zero_copy_only=False)
+        change |= v[1:] != v[:-1]
+    return np.concatenate(([0], np.flatnonzero(change) + 1, [n]))
+
+
+def map_groups_typed(
+    ds: ray.data.Dataset,
+    keys: list[str] | str,
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    out_schema: pa.Schema,
+    *,
+    batch_format: str = "pandas",
+) -> ray.data.Dataset:
+    """``groupby(keys).map_groups(fn)`` with a declared output schema.
+
+    Same contract as Ray's map_groups (sort co-locates and orders keys;
+    one key's rows never span blocks; each group fits a worker), but
+    every block this stage produces is cast to ``out_schema`` — group
+    outputs can't drift dtypes (pandas nullable-int → float64 etc.),
+    and a block the UDF empties out stays typed. (Empty blocks emitted
+    by the upstream sort are passed through by Ray without invoking the
+    UDF — see the module docstring.)
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    sorted_ds = ds.sort(keys)
+
+    def apply(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        bounds = _group_bounds(block, keys)
+        outs = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            grp = block.slice(s, e - s)
+            if batch_format == "pandas":
+                res = fn(grp.to_pandas())
+                outs.append(
+                    pa.Table.from_pandas(
+                        res, schema=out_schema, preserve_index=False
+                    )
+                )
+            else:
+                outs.append(fn(grp).cast(out_schema))
+        return pa.concat_tables(outs) if outs else out_schema.empty_table()
+
+    return sorted_ds.map_batches(apply, batch_format="pyarrow", batch_size=None)

@@ -27,6 +27,8 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Sum
 
+from logpipe_ray.stages.smallagg import map_groups_typed
+
 
 def add_tumbling_window(
     batch: pa.Table,
@@ -120,7 +122,15 @@ def sessionize(
         out["n_events"] = out["n_events"].astype(np.int64)
         return out
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    schema = pa.schema(
+        [
+            (key_col, pa.int64()),
+            ("session_id", pa.int64()),
+            ("n_events", pa.int64()),
+            ("sum_value_cents", pa.int64()),
+        ]
+    )
+    return map_groups_typed(ds, key_col, per_key, schema)
 
 
 def top_k(
@@ -193,7 +203,8 @@ def asof_join_by_key(
             {left_id: "int64", out_right_id: "float64"}
         )
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    schema = pa.schema([(left_id, pa.int64()), (out_right_id, pa.float64())])
+    return map_groups_typed(ds, key_col, per_key, schema)
 
 
 def cumulative_sum_by_key(
@@ -216,7 +227,8 @@ def cumulative_sum_by_key(
             }
         )
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    schema = pa.schema([(id_col, pa.int64()), ("running_cents", pa.int64())])
+    return map_groups_typed(ds, key_col, per_key, schema)
 
 
 def lag_diff_by_key(
@@ -246,4 +258,5 @@ def lag_diff_by_key(
             }
         )
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    schema = pa.schema([(id_col, pa.int64()), ("delta_cents", pa.int64())])
+    return map_groups_typed(ds, key_col, per_key, schema)

@@ -20,7 +20,8 @@ from __future__ import annotations
 
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Sum
+
+from logpipe_ray.stages.smallagg import fold_partials
 
 
 def partial_counters(batch: pa.Table) -> pa.Table:
@@ -41,9 +42,11 @@ def partial_counters(batch: pa.Table) -> pa.Table:
 
 
 def aggregate_counters(ds: ray.data.Dataset) -> ray.data.Dataset:
-    """Dataset with (source, sink, n_tok) → final counters dataset."""
+    """Dataset with (source, sink, n_tok) → final counters dataset.
+
+    The final fold is :func:`fold_partials` (single vectorized combine
+    over the tiny partials) rather than a groupby shuffle — the key
+    cardinality is bounded, and a shuffle sized from the block count
+    would leave most reduce partitions empty (zero-column blocks)."""
     partials = ds.map_batches(partial_counters, batch_format="pyarrow")
-    return partials.groupby(["source", "sink"]).aggregate(
-        Sum("n_rows", alias_name="n_rows"),
-        Sum("sum_n_tok", alias_name="sum_n_tok"),
-    )
+    return fold_partials(partials, ["source", "sink"], ["n_rows", "sum_n_tok"])

@@ -134,3 +134,20 @@ def test_dataset_stage_pack_tokens(sf_dir):
     df = build_pipeline(spec).to_pandas()
     assert set(df.columns) == {"doc_id", "source", "n_tok", "pack_id"}
     assert (df["pack_id"] >= 0).all()
+
+
+def test_gbk_encoded_spec_file(tmp_path):
+    """GB18030-encoded config files load like the reference's iconv'd
+    configs (src/config.c:428); UTF-8 files are unaffected."""
+    import json
+
+    from logpipe_ray.config import load_spec
+
+    spec = {"source": {"kind": "sequences", "注释": "中文配置值"}}
+    p = tmp_path / "gbk.json"
+    p.write_bytes(json.dumps(spec, ensure_ascii=False).encode("gb18030"))
+    assert load_spec(str(p)) == spec
+
+    p2 = tmp_path / "utf8.json"
+    p2.write_bytes(json.dumps(spec, ensure_ascii=False).encode("utf-8"))
+    assert load_spec(str(p2)) == spec

@@ -1,0 +1,81 @@
+"""MessageLogSource (logpipe-input-kafka analog) consumer semantics."""
+
+import os
+
+import pytest
+
+from logpipe_ray.sources.kafka_log import MessageLogSource, write_topic_fixture
+
+
+@pytest.fixture()
+def topic(tmp_path):
+    d = str(tmp_path / "topic")
+    write_topic_fixture(
+        d,
+        [
+            (0, "k0", "alpha"),
+            (0, "k1", "beta"),
+            (1, "k2", "gamma"),
+            (1, None, "no key here"),
+        ],
+    )
+    return d
+
+
+def rows(ds):
+    return sorted(
+        ds.take_all(), key=lambda r: (r["partition"], r["offset"])
+    )
+
+
+def test_read_partitions_offsets_keys(ray_session, topic, tmp_path):
+    src = MessageLogSource(topic, str(tmp_path / "state"))
+    assert src.partitions == [0, 1]
+    got = rows(src.read())
+    assert [(r["partition"], r["offset"], r["key"], r["value"]) for r in got] == [
+        (0, 0, "k0", "alpha"),
+        (0, 1, "k1", "beta"),
+        (1, 0, "k2", "gamma"),
+        (1, 1, None, "no key here"),
+    ]
+
+
+def test_commit_then_incremental_append(ray_session, topic, tmp_path):
+    src = MessageLogSource(topic, str(tmp_path / "state"))
+    assert len(rows(src.read())) == 4
+    src.commit()
+    # nothing new → empty increment (typed)
+    src2 = MessageLogSource(topic, str(tmp_path / "state"))
+    assert rows(src2.read()) == []
+    # append to partition 0 (same segment) + a NEW segment on partition 1
+    write_topic_fixture(topic, [(0, "k3", "delta")])
+    write_topic_fixture(topic, [(1, "k4", "epsilon")], segment=1)
+    src3 = MessageLogSource(topic, str(tmp_path / "state"))
+    got = rows(src3.read())
+    assert [(r["partition"], r["offset"], r["value"]) for r in got] == [
+        (0, 2, "delta"),
+        (1, 1 << 32, "epsilon"),  # segment 1, line 0 — still monotone
+    ]
+
+
+def test_read_repeatable_until_commit(ray_session, topic, tmp_path):
+    src = MessageLogSource(topic, str(tmp_path / "state"))
+    a = rows(src.read())
+    # no commit → a fresh consumer in the same group re-reads the same increment
+    src2 = MessageLogSource(topic, str(tmp_path / "state"))
+    b = rows(src2.read())
+    assert a == b
+
+
+def test_value_with_tab_splits_only_first(ray_session, tmp_path):
+    d = str(tmp_path / "t2")
+    write_topic_fixture(d, [(0, "k", "val\twith\ttabs")])
+    src = MessageLogSource(d, str(tmp_path / "state2"))
+    [r] = rows(src.read())
+    assert (r["key"], r["value"]) == ("k", "val\twith\ttabs")
+
+
+def test_no_partitions_raises(tmp_path):
+    os.makedirs(tmp_path / "empty_topic", exist_ok=True)
+    with pytest.raises(ValueError, match="partition"):
+        MessageLogSource(str(tmp_path / "empty_topic"), str(tmp_path / "s"))
