@@ -31,6 +31,38 @@ EXPAND = int(os.environ.get("BENCH_EXPAND", "16"))
 CACHE_ROOT = os.environ.get("BENCH_CACHE", "/tmp/lpr_bench_cache")
 
 
+def _quiet_empty_block_schema_noise() -> None:
+    """Filter ONE known-benign Ray executor warning from the timing log.
+
+    Ray's sort/shuffle reduce emits SCHEMA-LESS empty blocks for key
+    ranges that receive no rows, and map UDFs deliberately pass them
+    through without running (Ray's own workaround + TODO(hchen) in
+    data/_internal/planner/plan_udf_map_op.py:453-462), so they cannot
+    be re-typed downstream; the executor then logs a once-per-operator
+    "different schema ... new schema: ." warning
+    (streaming_executor_state.py:793). Occurrence is minimized
+    structurally (stages/smallagg bounds partition counts by key
+    cardinality; joins — the one consumer the empties actually break —
+    are partition-bounded in stages/joins), but the sort's boundary
+    SAMPLING still occasionally leaves an empty range, so the residual
+    warning is nondeterministic noise. Filter exactly that line; every
+    other executor warning still prints.
+    """
+    import logging
+
+    class _EmptyBlockSchemaNoise(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            msg = record.getMessage()
+            return not (
+                "RefBundle with a different schema" in msg
+                and "new schema: ." in msg
+            )
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_EmptyBlockSchemaNoise())
+
+
 def ensure_input(sf_dir: str, expand: int) -> str:
     """Generate (once) the expanded sequences table; returns its dir."""
     import ray
@@ -146,6 +178,7 @@ def main() -> None:
             logging_level="ERROR",
         )
     ray.data.DataContext.get_current().enable_progress_bars = False
+    _quiet_empty_block_schema_noise()
 
     import gc
 
@@ -369,6 +402,7 @@ def dedup_bench() -> None:
             logging_level="ERROR",
         )
     ray.data.DataContext.get_current().enable_progress_bars = False
+    _quiet_empty_block_schema_noise()
 
     expand = int(os.environ.get("DEDUP_EXPAND", "20"))
     corpus, n_docs, n_planted = ensure_dedup_corpus(SF_DIR, expand)
@@ -434,6 +468,7 @@ def gen_only() -> None:
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
+    _quiet_empty_block_schema_noise()
     seq_dir = ensure_input(SF_DIR, EXPAND)
     ray.shutdown()
     print(json.dumps({"generated": seq_dir}))

@@ -190,12 +190,18 @@ def route_shuffled(
             ("sum_n_tok", pa.int64()),
         ]
     )
+    # Distinct (sink, salt) groups = cold sinks (salt 0) + salt_buckets
+    # for the hot sink — ~20 with the default route table. Half that as
+    # the sort block count keeps every sort range nonempty (no
+    # schema-less empties; see map_groups_typed) while the write
+    # parallelism stays group-bounded anyway.
     partials = map_groups_typed(
         salted,
         ["sink", "salt"],
         write_group,
         counter_schema,
         batch_format="pyarrow",
+        pre_blocks=max(2, salt_buckets // 2),
     )
     return fold_partials(partials, ["source", "sink"], ["n_rows", "sum_n_tok"])
 

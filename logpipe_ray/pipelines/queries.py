@@ -820,6 +820,34 @@ def embed_topk_pairs(sf_dir: str):
     return topk_cosine_pairs_distributed(ds, k=20, chunk_rows=2048)
 
 
+@query(
+    "embed_dedup_cosine",
+    """WITH v AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       )
+       SELECT a.vec_id FROM v a
+       WHERE NOT EXISTS (
+         SELECT 1 FROM v b
+         WHERE b.vec_id < a.vec_id
+           AND list_cosine_similarity(b.e, a.e) >= 0.45
+       )""",
+)
+def embed_dedup_cosine(sf_dir: str):
+    """Embedding-cosine near-dup REMOVAL (vs embed_topk_pairs, which
+    only ranks): survivors after dropping every vector with cosine ≥
+    0.45 to a lower-id vector. Distributed chunk-pair matmuls → dup-
+    proportional edge set → broadcast removal filter. Threshold 0.45
+    sits in a ≥2e-3 gap of the synthetic corpus's cosine distribution,
+    so float64-matmul vs DuckDB-double order-of-summation differences
+    cannot flip a pair across it."""
+    from logpipe_ray.stages.similarity import cosine_dedup_distributed
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return cosine_dedup_distributed(ds, threshold=0.45, chunk_rows=2048).select_columns(
+        ["vec_id"]
+    )
+
+
 @query("embed_ann_lsh", None)  # ANN recall < 1 by design — measured in tests
 def embed_ann_lsh(sf_dir: str):
     from logpipe_ray.stages.similarity import ann_knn_bucketed

