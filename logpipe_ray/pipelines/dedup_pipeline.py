@@ -5,8 +5,8 @@ Dataset.join — https://docs.ray.io/en/latest/data/transforming-data.html):
 
     documents
       → map_batches(explode_lsh_bands)       # doc → (band_id, band_hash, doc_id)
-      → groupby(band_id, band_hash)          # ONE shuffle of tiny rows
-      → map_groups(candidate_pairs)          # pairs within each bucket
+      → sort(band_id, band_hash)             # ONE shuffle of tiny rows
+      → map_batches(pairs_from_sorted_runs)  # vectorized in-bucket pairs
       → groupby(doc_a, doc_b)                # DISTRIBUTED pair dedupe
       → broadcast candidate-id set           # ints only — |cands| ≪ corpus
       → map_batches filter docs → shingles   # text never leaves the cluster
@@ -39,7 +39,6 @@ import ray.data
 from ray.data.aggregate import Count, Min
 
 from logpipe_ray.stages.dedup import (
-    candidate_pairs_from_bucket,
     explode_lsh_bands,
     jaccard,
 )
@@ -126,9 +125,20 @@ def candidate_pairs(
 ) -> ray.data.Dataset:
     """documents Dataset → distinct candidate (doc_a, doc_b) pairs.
 
-    Band explode → bucket groupby → per-bucket pairs → distributed
+    Band explode → ONE sort co-locating each (band_id, band_hash)
+    bucket → vectorized run-boundary pair generation → distributed
     pair dedupe (a near-dup pair collides in many bands). doc_ids stay
     int64 end-to-end — pairs are oriented numerically (doc_a < doc_b).
+
+    The single sort replaced r2's count-aggregate + inner-join hot-
+    bucket prefilter: both shapes make the per-bucket Python work
+    dup-pair-proportional, but the old one paid TWO all-to-alls over
+    the band rows (profiled 11.7 s aggregate + 3.4 s join of the
+    18.8 s candidate phase at 100k docs) where the sort pays one, and
+    the run scan skips singleton buckets with a vectorized
+    ``run_lengths >= 2`` mask instead of a join. Ray's own map_groups
+    relies on the same sort invariant (a key's rows never span
+    blocks), so in-block boundary detection sees every bucket whole.
     """
 
     def explode(b: pa.Table) -> pa.Table:
@@ -144,51 +154,91 @@ def candidate_pairs(
             )
         return b
 
-    # materialize: band_rows feeds TWO consumers (the bucket-count
-    # aggregate and the hot join) and Ray Data re-executes lineage per
-    # consumer — without this the sketch stage (the dominant CPU cost)
-    # runs twice. Footprint is 3 int64s × bands per doc (~384 B/doc at
-    # 16 bands), far smaller than the corpus text it replaces.
-    band_rows = (
-        ds.map_batches(explode, batch_format="pyarrow")
-        .map_batches(_i64_keys, batch_format="pyarrow")
-        .materialize()
+    band_rows = ds.map_batches(explode, batch_format="pyarrow").map_batches(
+        _i64_keys, batch_format="pyarrow"
     )
-
-    # Hot-bucket prefilter: in a real corpus almost every (band, hash)
-    # bucket is a singleton, and ``groupby().map_groups`` pays a Python
-    # call per GROUP — millions of no-op calls at scale. Count bucket
-    # sizes with the vectorized aggregate, keep buckets with ≥2
-    # members via a distributed join, and run the per-bucket pair step
-    # only on those rows (dup-pair-proportional, not corpus-
-    # proportional). ``hot`` is materialized: it is both counted (to
-    # clamp the join's partition count by the small side — see
-    # joins.join_partitions) and joined.
-    hot = (
-        band_rows.groupby(["band_id", "band_hash"])
-        .aggregate(Count(alias_name="n_in_bucket"))
-        .map_batches(
-            lambda b: _i64_keys(
-                b.filter(pc.greater_equal(b["n_in_bucket"], 2)).drop_columns(
-                    ["n_in_bucket"]
-                )
-            ),
-            batch_format="pyarrow",
-        )
-        .materialize()
-    )
-    hot_rows = band_rows.join(
-        hot,
-        join_type="inner",
-        num_partitions=join_partitions(small_rows=hot.count(), cap=16),
-        on=("band_id", "band_hash"),
-    )
-    bucket_pairs = hot_rows.groupby(["band_id", "band_hash"]).map_groups(
-        candidate_pairs_from_bucket, batch_format="pyarrow"
+    bucket_pairs = band_rows.sort(["band_id", "band_hash"]).map_batches(
+        pairs_from_sorted_runs, batch_format="pyarrow", batch_size=None
     )
     return bucket_pairs.groupby(["doc_a", "doc_b"]).aggregate(
         Count(alias_name="n_bands")
     )
+
+
+def pairs_from_sorted_runs(block: pa.Table) -> pa.Table:
+    """(band_id, band_hash)-sorted band rows → candidate pairs (a < b).
+
+    Vectorized: run boundaries from one diff over the key columns;
+    the Python loop touches only runs of length ≥ 2 (dup-pair-
+    proportional — in a real corpus almost every bucket is a
+    singleton). Same-bucket duplicate doc_ids (the corpus contains
+    exact-duplicate rows by design) collapse via np.unique, matching
+    candidate_pairs_from_bucket's set() semantics."""
+    n = block.num_rows
+    if n == 0:
+        return pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64())]
+        ).empty_table()
+    bid = _col_np(block, "band_id")
+    bh = _col_np(block, "band_hash")
+    ids = _col_np(block, "doc_id")
+    change = (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])
+    starts = np.concatenate(([0], np.flatnonzero(change) + 1, [n]))
+    lengths = np.diff(starts)
+    a_parts, b_parts = [], []
+    for ri in np.flatnonzero(lengths >= 2):
+        u = np.unique(ids[starts[ri] : starts[ri] + lengths[ri]])
+        if len(u) < 2:
+            continue
+        iu = np.triu_indices(len(u), k=1)
+        a_parts.append(u[iu[0]])
+        b_parts.append(u[iu[1]])
+    a = np.concatenate(a_parts) if a_parts else np.array([], dtype=np.int64)
+    b = np.concatenate(b_parts) if b_parts else np.array([], dtype=np.int64)
+    return pa.table(
+        {
+            "doc_a": pa.array(a, type=pa.int64()),
+            "doc_b": pa.array(b, type=pa.int64()),
+        }
+    )
+
+
+def _col_np(block: pa.Table, name: str) -> "np.ndarray":
+    col = block[name]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False)
+
+
+def simhash_pairs_from_sorted_runs(
+    block: pa.Table, *, max_hamming: int = 3
+) -> pa.Table:
+    """(band_id, band_val)-sorted simhash band rows → verified pairs.
+
+    Run boundaries vectorized as in :func:`pairs_from_sorted_runs`;
+    each run ≥ 2 is sliced out (zero-copy) and scored by the existing
+    vectorized xor-popcount bucket scorer — so the Python loop is
+    colliding-bucket-proportional, not corpus-proportional."""
+    from logpipe_ray.stages.dedup import simhash_bucket_pairs
+
+    empty = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int64())]
+    ).empty_table()
+    n = block.num_rows
+    if n == 0:
+        return empty
+    bid = _col_np(block, "band_id")
+    bv = _col_np(block, "band_val")
+    change = (bid[1:] != bid[:-1]) | (bv[1:] != bv[:-1])
+    starts = np.concatenate(([0], np.flatnonzero(change) + 1, [n]))
+    lengths = np.diff(starts)
+    outs = [
+        simhash_bucket_pairs(
+            block.slice(starts[ri], lengths[ri]), max_hamming=max_hamming
+        )
+        for ri in np.flatnonzero(lengths >= 2)
+    ]
+    return pa.concat_tables(outs) if outs else empty
 
 
 def verify_pairs(
@@ -294,15 +344,17 @@ def simhash_near_pairs(
     band_bits: int = 16,
 ) -> pa.Table:
     """SimHash near-dup pairs with FULL recall for hamming ≤ bands-1:
-    sketch → band explode → bucket groupby → vectorized xor-popcount
-    verify → distributed pair dedupe. Only (band, id, hash) rows and id
-    pairs shuffle; ordered (hamming asc, doc_a, doc_b)."""
+    sketch → band explode → ONE sort co-locating buckets → vectorized
+    xor-popcount verify per run → distributed pair dedupe. Only
+    (band, id, hash) rows and id pairs shuffle; ordered (hamming asc,
+    doc_a, doc_b). Same sorted-runs shape as :func:`candidate_pairs`
+    (and for the same reason — ``groupby().map_groups`` pays a Python
+    call per bucket, and almost every bucket is a singleton)."""
     from functools import partial
 
     from logpipe_ray.stages.dedup import (
         add_simhash,
         simhash_band_explode,
-        simhash_bucket_pairs,
     )
 
     ds = ray.data.read_parquet(
@@ -321,9 +373,10 @@ def simhash_near_pairs(
         partial(simhash_band_explode, bands=bands, band_bits=band_bits),
         batch_format="pyarrow",
     )
-    pairs = band_rows.groupby(["band_id", "band_val"]).map_groups(
-        partial(simhash_bucket_pairs, max_hamming=max_hamming),
+    pairs = band_rows.sort(["band_id", "band_val"]).map_batches(
+        partial(simhash_pairs_from_sorted_runs, max_hamming=max_hamming),
         batch_format="pyarrow",
+        batch_size=None,
     )
     uniq = pairs.groupby(["doc_a", "doc_b"]).aggregate(
         Min("hamming", alias_name="hamming")
