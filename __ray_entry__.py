@@ -355,6 +355,7 @@ _DRIVER_PRIORITY = [
     # new / fixed / changed this round
     "exec_source",
     "kafka_log_source",
+    "kafka_roundtrip",
     "embed_dedup_cosine",
     "multimodal_decode_real",
     "dedup_minhash_lsh",

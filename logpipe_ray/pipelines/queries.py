@@ -1323,6 +1323,51 @@ def kafka_log_source(sf_dir: str):
 
 
 @query(
+    "kafka_roundtrip",
+    """SELECT CAST(doc_id AS BIGINT) AS key_id,
+              CAST(length(text) AS BIGINT) AS n_chars
+       FROM documents""",
+)
+def kafka_roundtrip(sf_dir: str):
+    """Produce → consume identity through the message-log topic: the
+    documents table is PRODUCED into a fresh partitioned topic
+    (``MessageLogSink``, the output-kafka analog — parallel tasks each
+    writing exclusive segments with atomic visibility) and CONSUMED
+    back (``MessageLogSource``, the input-kafka analog); every message
+    must come back exactly once with its key and value intact.
+    Partition/offset are not exported: cross-segment order depends on
+    task batching (as Kafka's depends on producer arrival)."""
+    import tempfile
+
+    from logpipe_ray.sources.kafka_log import MessageLogSource, produce_messages
+
+    topic = tempfile.mkdtemp(prefix="lpr_topic_rt_")
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: pa.table(
+            {
+                "key": pc.cast(b["doc_id"], pa.string()),
+                "value": b["text"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    # drive the produce to completion (count() is the barrier; partials
+    # are partition-count-sized)
+    produce_messages(docs, topic, partitions=4).count()
+
+    src = MessageLogSource(topic, tempfile.mkdtemp(prefix="lpr_topic_rt_state_"))
+    return src.read().map_batches(
+        lambda b: pa.table(
+            {
+                "key_id": pc.cast(b["key"], pa.int64()),
+                "n_chars": pc.cast(pc.utf8_length(b["value"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+@query(
     "events_sliding",
     """SELECT user_id, "window", count(*) AS n_events
        FROM (
@@ -1519,10 +1564,24 @@ def events_union(sf_dir: str):
     return fold_partials(count_partials(merged, "event_type"), "event_type", "n")
 
 
-@query("events_approx_users", None)  # sketch estimate — tolerance-tested vs exact
+@query(
+    "events_approx_users",
+    """SELECT event_type,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS approx_distinct
+       FROM events GROUP BY event_type""",
+)
 def events_approx_users(sf_dir: str):
     """Approximate distinct users per event_type via mergeable KMV
-    sketches (only ≤k-int64 sketch rows shuffle, never the values)."""
+    sketches (only ≤k-int64 sketch rows shuffle, never the values).
+
+    Oracle note: a KMV sketch is EXACT whenever the true cardinality is
+    below k (the sketch then holds every distinct hash —
+    functions/sketches.kmv_estimate), and the driver's correctness
+    scales (sf0.001: ~15, sf0.01: 150 distinct users per type) are
+    below k=256, so exact COUNT(DISTINCT) is the principled oracle
+    there — not a coincidence of seeds. Above k the estimate is
+    approximate by design; tolerance vs exact is property-tested
+    (test_dedup_text::TestKmvSketch) at cardinalities ≫ k."""
     from logpipe_ray.functions.sketches import approx_distinct_by_key
 
     ds = _read(sf_dir, "events", ["event_type", "user_id"])

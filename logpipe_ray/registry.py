@@ -346,6 +346,17 @@ def _sink_dataset(ds, **kw):
     return ds
 
 
+@register_sink("message_log")
+def _sink_message_log(ds, topic_dir: str, **kw):
+    """Produce rows into a partitioned message-log topic
+    (logpipe-output-kafka analog; see sources/kafka_log.MessageLogSink)."""
+    from logpipe_ray.sources.kafka_log import produce_messages
+    from logpipe_ray.stages.smallagg import fold_partials
+
+    partials = produce_messages(ds, topic_dir, **kw)
+    return fold_partials(partials, "partition", "n_messages")
+
+
 @register_sink("stdout")
 def _sink_stdout(ds, limit: int = 20, **kw):
     """Debug sink (logpipe-output-stdout analog)."""

@@ -141,6 +141,108 @@ class MessageLogSource:
             tail.commit()
 
 
+class MessageLogSink:
+    """Producer side — the ``logpipe-output-kafka`` analog
+    (src-plugins/logpipe-output-kafka.c: per-block ``rd_kafka_produce``
+    with delivery confirmation and flush-on-close).
+
+    Broker semantics restated for a batch engine: a Kafka partition log
+    is a sequence of SEGMENTS, each written by one producer at a time.
+    Here every producing task appends its own exclusive segment per
+    partition (segment id = deterministic per-task tag), so parallel
+    producers never interleave bytes; per-partition order = segment
+    order then line order, exactly what the consumer's ``segment <<
+    32 | line`` offsets encode. Delivery confirmation ≈ write-temp +
+    ``os.replace`` (a segment becomes visible atomically or not at
+    all — Ray task retries overwrite the same name, idempotent).
+
+    Use as a ``map_batches`` callable: rows must carry ``key_col`` /
+    ``value_col``; partition = ``hash(key) % partitions`` via a
+    content hash (NOT Python ``hash()`` — per-process salted).
+    """
+
+    def __init__(
+        self,
+        topic_dir: str,
+        *,
+        partitions: int = 4,
+        key_col: str = "key",
+        value_col: str = "value",
+    ):
+        self.topic_dir = topic_dir
+        self.partitions = partitions
+        self.key_col = key_col
+        self.value_col = value_col
+        os.makedirs(topic_dir, exist_ok=True)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        if batch.num_rows == 0:
+            return pa.schema(
+                [("partition", pa.int64()), ("n_messages", pa.int64())]
+            ).empty_table()
+        keys = batch[self.key_col].to_pandas().astype(str)
+        vals = batch[self.value_col].to_pandas().astype(str)
+        part = (
+            pd.util.hash_array(keys.to_numpy(dtype=object)) % self.partitions
+        ).astype(np.int64)
+        # segment id per task: content-hash of this batch's keys — the
+        # same batch (retry) lands on the same segment name (idempotent)
+        seg = int.from_bytes(
+            hashlib.blake2b(
+                "\x00".join(keys.tolist()).encode(), digest_size=4
+            ).digest(),
+            "big",
+        )
+        counts: dict[int, int] = {}
+        for p in sorted(set(part.tolist())):
+            rows = [
+                f"{k}\t{v}"
+                for k, v in zip(keys[part == p], vals[part == p])
+            ]
+            d = os.path.join(self.topic_dir, f"partition={p}")
+            os.makedirs(d, exist_ok=True)
+            final = os.path.join(d, f"segment-{seg:08d}.log")
+            tmp = final + ".tmp"
+            with open(tmp, "w") as f:
+                f.write("\n".join(rows) + "\n")
+            os.replace(tmp, final)  # delivery confirmation: atomic visibility
+            counts[p] = len(rows)
+        return pa.table(
+            {
+                "partition": pa.array(sorted(counts), type=pa.int64()),
+                "n_messages": pa.array(
+                    [counts[p] for p in sorted(counts)], type=pa.int64()
+                ),
+            }
+        )
+
+
+def produce_messages(
+    ds: ray.data.Dataset,
+    topic_dir: str,
+    *,
+    partitions: int = 4,
+    key_col: str = "key",
+    value_col: str = "value",
+) -> ray.data.Dataset:
+    """Produce a Dataset into a message-log topic; returns per-partition
+    message-count partials (fold with smallagg.fold_partials)."""
+    return ds.map_batches(
+        MessageLogSink(
+            topic_dir,
+            partitions=partitions,
+            key_col=key_col,
+            value_col=value_col,
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def write_topic_fixture(
     topic_dir: str,
     messages: list[tuple[int, str, str]],
