@@ -455,6 +455,103 @@ def dedup_bench() -> None:
     ray.shutdown()
 
 
+def ensure_embed_corpus(n: int, d: int) -> tuple[str, int]:
+    """Deterministic embedding corpus with PLANTED near-dups.
+
+    Base vectors are i.i.d. N(0,1) rows (unit-normalized): in ``d``
+    dimensions two independent such vectors have cosine
+    O(1/sqrt(d)) ≈ ±0.12 at d=64, far below any near-dup threshold.
+    Every 97th vector gets a planted partner = itself + 1% noise
+    (cosine ≈ 0.9999), appended with id = base_id + n — so the exact
+    removal set under "drop if cosine ≥ t to a lower id" is precisely
+    the planted partners, at ANY threshold in the wide (≈0.5, 0.999)
+    gap. Returns (dir, n_planted)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    cache = f"{CACHE_ROOT}/embed_{n}x{d}_v1"
+    marker = f"{cache}/meta.json"
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return cache, json.load(f)["n_planted"]
+    os.makedirs(cache, exist_ok=True)
+    rng = np.random.RandomState(43)
+    base = rng.randn(n, d).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    planted_ids = np.arange(0, n, 97)
+    partners = base[planted_ids] + 0.01 * rng.randn(len(planted_ids), d).astype(
+        np.float32
+    )
+    ids = np.concatenate([np.arange(n), planted_ids + n]).astype(np.int64)
+    mat = np.concatenate([base, partners])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array(
+                [row.tolist() for row in mat], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    _pq.write_table(tbl, f"{cache}/embeddings.parquet", compression="zstd")
+    with open(marker, "w") as f:
+        json.dump({"n_planted": int(len(planted_ids))}, f)
+    return cache, int(len(planted_ids))
+
+
+def embed_bench() -> None:
+    """Embedding-cosine near-dup removal at scale: distributed
+    chunk-pair block matmuls over a planted-near-dup corpus; reports
+    vectors/s and whether the removal set is EXACTLY the planted
+    partners. Run via ``python bench.py --embed``."""
+    import time as _time
+
+    import ray
+    import ray.data
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    _quiet_empty_block_schema_noise()
+
+    n = int(os.environ.get("EMBED_N", "100000"))
+    d = int(os.environ.get("EMBED_D", "64"))
+    corpus, n_planted = ensure_embed_corpus(n, d)
+    from logpipe_ray.stages.similarity import cosine_dedup_distributed
+
+    t0 = _time.time()
+    ds = ray.data.read_parquet(f"{corpus}/embeddings.parquet")
+    survivors = cosine_dedup_distributed(ds, threshold=0.9, chunk_rows=4096)
+    surv_ids = set()
+    for b in survivors.iter_batches(batch_format="pyarrow", batch_size=65536):
+        surv_ids.update(b["vec_id"].to_pylist())
+    sec = _time.time() - t0
+    total = n + n_planted
+    removed = total - len(surv_ids)
+    exact = len(surv_ids) == n and all(i < n for i in surv_ids)
+    print(
+        json.dumps(
+            {
+                "metric": "embed_dedup_at_scale",
+                "n_vectors": total,
+                "dim": d,
+                "n_planted_dups": n_planted,
+                "sec": round(sec, 2),
+                "vectors_per_sec": round(total / sec, 1),
+                "n_removed": removed,
+                "removal_exactly_planted": bool(exact),
+                "num_cpus": NUM_CPUS,
+            }
+        )
+    )
+    ray.shutdown()
+
+
 def gen_only() -> None:
     import ray
 
@@ -481,5 +578,7 @@ if __name__ == "__main__":
         scaling()
     elif "--dedup" in sys.argv:
         dedup_bench()
+    elif "--embed" in sys.argv:
+        embed_bench()
     else:
         main()

@@ -1266,12 +1266,19 @@ def _topic_fixture(sf_dir: str) -> str:
 
     from logpipe_ray.sources.kafka_log import write_topic_fixture
 
+    import shutil
+    import uuid
+
     tag = sf_dir.strip("/").replace("/", "_")
     d = f"/tmp/lpr_topic_{tag}"
     marker = os.path.join(d, "_SUCCESS")
     if os.path.exists(marker):
         return d
-    os.makedirs(d, exist_ok=True)
+    # build in a scratch dir, publish atomically: write_topic_fixture
+    # APPENDS, so a crash between a partial write and the marker would
+    # otherwise duplicate messages on the retry
+    tmp = f"{d}.build-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
     t = (
         pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         .sort_by("doc_id")
@@ -1280,9 +1287,14 @@ def _topic_fixture(sf_dir: str) -> str:
         (int(i) % 4, str(int(i)), s)
         for i, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
     ]
-    write_topic_fixture(d, msgs)
-    with open(marker, "w") as f:
+    write_topic_fixture(tmp, msgs)
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
         f.write("ok")
+    shutil.rmtree(d, ignore_errors=True)
+    try:
+        os.rename(tmp, d)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race; d exists
     return d
 
 

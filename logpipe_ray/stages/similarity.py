@@ -362,11 +362,20 @@ class ChunkPairScorer:
     The full n×n gram matrix never exists anywhere; each task holds one
     chunk_rows × chunk_rows block."""
 
-    def __init__(self, chunk_dir: str, *, k: int, id_col: str, vec_col: str):
+    def __init__(
+        self,
+        chunk_dir: str,
+        *,
+        k: int,
+        id_col: str,
+        vec_col: str,
+        dtype=np.float64,
+    ):
         self.chunk_dir = chunk_dir
         self.k = k
         self.id_col = id_col
         self.vec_col = vec_col
+        self.dtype = dtype
         self._cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 
     def _load(self, name: str) -> tuple[np.ndarray, np.ndarray]:
@@ -378,7 +387,9 @@ class ChunkPairScorer:
             t = pq.read_table(os.path.join(self.chunk_dir, name))
             self._cache[name] = (
                 t[self.id_col].to_numpy(zero_copy_only=False),
-                _normalize(_matrix(t[self.vec_col])),
+                _normalize(_matrix(t[self.vec_col])).astype(
+                    self.dtype, copy=False
+                ),
             )
         return self._cache[name]
 
@@ -417,7 +428,15 @@ def _chunk_pair_worklist(
     """Chunk the corpus onto shared storage and build the C(C+1)/2
     chunk-pair work list (shared by the top-k and threshold scorers).
     Chunk names are idempotent (min id per chunk) — the resumable-
-    fragment naming pattern."""
+    fragment naming pattern.
+
+    The corpus is repartitioned to exactly ``ceil(n / chunk_rows)``
+    blocks first (one chunk per block, ``batch_size=None``): a plain
+    ``batch_size=chunk_rows`` leaves a partial tail batch per READ
+    TASK, and ragged chunks inflate the quadratic pair list — measured
+    43 chunks → 946 pairs instead of 25 → 325 at 100k vectors (2.9×
+    the scoring work)."""
+    import math
     import os
     import tempfile
 
@@ -434,8 +453,9 @@ def _chunk_pair_worklist(
         pq.write_table(b.select([id_col, vec_col]), path, compression="zstd")
         return pa.table({"chunk": pa.array([tag], type=pa.int64())})
 
-    ds.map_batches(
-        write_chunk, batch_format="pyarrow", batch_size=chunk_rows
+    n_chunks = max(1, math.ceil(ds.count() / chunk_rows))
+    ds.repartition(n_chunks).map_batches(
+        write_chunk, batch_format="pyarrow", batch_size=None
     ).materialize()
     chunks = sorted(n for n in os.listdir(tmp_dir) if n.startswith("chunk-"))
     items = [
@@ -500,9 +520,22 @@ class ThresholdPairScorer(ChunkPairScorer):
     which is what makes collecting it safe at scale."""
 
     def __init__(
-        self, chunk_dir: str, *, threshold: float, id_col: str, vec_col: str
+        self,
+        chunk_dir: str,
+        *,
+        threshold: float,
+        id_col: str,
+        vec_col: str,
+        dtype=np.float32,
     ):
-        super().__init__(chunk_dir, k=0, id_col=id_col, vec_col=vec_col)
+        """``dtype`` defaults to float32 — a single-precision dot of
+        unit vectors is within ~1e-5 of the float64 value (d ≤ 4096),
+        and thresholding (unlike top-k RANKING, where exact tie order
+        matters — ChunkPairScorer stays float64) only needs the margin
+        around ``threshold`` to exceed that; pick thresholds
+        accordingly or pass ``dtype=np.float64``. sgemm is ~2× dgemm —
+        this stage is pure matmul at scale."""
+        super().__init__(chunk_dir, k=0, id_col=id_col, vec_col=vec_col, dtype=dtype)
         self.threshold = threshold
 
     def __call__(self, batch: pa.Table) -> pa.Table:
