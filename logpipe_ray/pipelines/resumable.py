@@ -68,7 +68,7 @@ def process_fragment(
         "path": path,
         "n_rows": table.num_rows,
         "sum_n_tok": int(pa.compute.sum(table["n_tok"]).as_py() or 0),
-        "doc_digest": doc_id_digest(table["doc_id"].to_pylist()),
+        "doc_digest": doc_id_digest(table["doc_id"]),
         "counters": [
             {
                 "source": s,

@@ -67,12 +67,25 @@ def pending_fragments(out_dir: str, paths: Iterable[str]) -> list[str]:
     return [p for p in paths if frag_id(p) not in done]
 
 
-def doc_id_digest(doc_ids: Iterable[str]) -> str:
-    """Order-insensitive 64-bit xor digest of per-doc sha1s (lineage)."""
-    acc = 0
-    for d in doc_ids:
-        acc ^= int.from_bytes(hashlib.sha1(d.encode()).digest()[:8], "big")
-    return f"{acc:016x}"
+def doc_id_digest(doc_ids) -> str:
+    """Order-insensitive 64-bit xor digest of per-doc content hashes
+    (lineage). Vectorized: one ``pd.util.hash_array`` over the ids +
+    an xor reduce — the old per-id sha1 loop was 11% of a resumable
+    fragment's wall time. (Content hash, NOT ``hash()`` — per-process
+    salted.) Accepts an Arrow array/column or any iterable of strings.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(doc_ids, (pa.Array, pa.ChunkedArray)):
+        arr = doc_ids.to_numpy(zero_copy_only=False)
+    else:
+        arr = np.asarray(list(doc_ids), dtype=object)
+    if len(arr) == 0:
+        return f"{0:016x}"
+    h = pd.util.hash_array(arr.astype(object))
+    return f"{int(np.bitwise_xor.reduce(h)):016x}"
 
 
 def manifest_counters(out_dir: str) -> list[dict[str, Any]]:
