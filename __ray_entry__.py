@@ -353,6 +353,7 @@ def entry() -> Any:
 # queries green in both prior rounds take the tail.
 _DRIVER_PRIORITY = [
     # new / fixed / changed this round
+    "embed_dedup_lsh",
     "exec_source",
     "kafka_log_source",
     "kafka_roundtrip",

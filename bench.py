@@ -524,31 +524,44 @@ def embed_bench() -> None:
     corpus, n_planted = ensure_embed_corpus(n, d)
     from logpipe_ray.stages.similarity import cosine_dedup_distributed
 
-    t0 = _time.time()
-    ds = ray.data.read_parquet(f"{corpus}/embeddings.parquet")
-    survivors = cosine_dedup_distributed(ds, threshold=0.9, chunk_rows=4096)
-    surv_ids = set()
-    for b in survivors.iter_batches(batch_format="pyarrow", batch_size=65536):
-        surv_ids.update(b["vec_id"].to_pylist())
-    sec = _time.time() - t0
+    import gc
+
+    from logpipe_ray.stages.similarity import cosine_dedup_lsh
+
     total = n + n_planted
-    removed = total - len(surv_ids)
-    exact = len(surv_ids) == n and all(i < n for i in surv_ids)
-    print(
-        json.dumps(
-            {
-                "metric": "embed_dedup_at_scale",
-                "n_vectors": total,
-                "dim": d,
-                "n_planted_dups": n_planted,
-                "sec": round(sec, 2),
-                "vectors_per_sec": round(total / sec, 1),
-                "n_removed": removed,
-                "removal_exactly_planted": bool(exact),
-                "num_cpus": NUM_CPUS,
-            }
-        )
-    )
+    out = {
+        "metric": "embed_dedup_at_scale",
+        "n_vectors": total,
+        "dim": d,
+        "n_planted_dups": n_planted,
+        "num_cpus": NUM_CPUS,
+    }
+    for name, fn in (
+        (
+            "exact",
+            lambda ds: cosine_dedup_distributed(
+                ds, threshold=0.9, chunk_rows=4096
+            ),
+        ),
+        ("lsh", lambda ds: cosine_dedup_lsh(ds, threshold=0.9)),
+    ):
+        t0 = _time.time()
+        ds = ray.data.read_parquet(f"{corpus}/embeddings.parquet")
+        survivors = fn(ds)
+        surv_ids = set()
+        for b in survivors.iter_batches(
+            batch_format="pyarrow", batch_size=65536
+        ):
+            surv_ids.update(b["vec_id"].to_pylist())
+        sec = _time.time() - t0
+        exact = len(surv_ids) == n and all(i < n for i in surv_ids)
+        out[f"{name}_sec"] = round(sec, 2)
+        out[f"{name}_vectors_per_sec"] = round(total / sec, 1)
+        out[f"{name}_n_removed"] = total - len(surv_ids)
+        out[f"{name}_removal_exactly_planted"] = bool(exact)
+        del ds, survivors
+        gc.collect()
+    print(json.dumps(out))
     ray.shutdown()
 
 

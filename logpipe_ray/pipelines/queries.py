@@ -857,6 +857,26 @@ def embed_ann_lsh(sf_dir: str):
     return ann_knn_bucketed(ds, qids, qmat, k=5)
 
 
+@query("embed_dedup_lsh", None)  # LSH recall < 1 by design — measured in tests
+def embed_dedup_lsh(sf_dir: str):
+    """Sub-quadratic embedding-cosine dedup (the 100 TB scale path next
+    to embed_dedup_cosine's exact chunk-pair variant): hyperplane-LSH
+    band buckets → one sort → run-scan candidate pairs → exact-cosine
+    verify. Precision is exact (every removal cosine-verified) but
+    recall is probabilistic per band collision, so there is no SQL
+    oracle; tests/test_dedup_text.py asserts it removes exactly the
+    planted near-dup set (miss prob ~1e-10 at the planted cosine) and
+    matches the exact path there. Threshold 0.82 targets true near-dups
+    (the 0.45 exact-path threshold sits below LSH's useful recall
+    regime by design of random-hyperplane collision probabilities)."""
+    from logpipe_ray.stages.similarity import cosine_dedup_lsh
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return cosine_dedup_lsh(ds, threshold=0.82, n_planes=8, bands=16).select_columns(
+        ["vec_id"]
+    )
+
+
 @query("embed_ann_ivf", None)  # ANN recall < 1 by design — measured in tests
 def embed_ann_ivf(sf_dir: str):
     """IVF ANN at nprobe=4 of 8 centroid cells (the real ANN operating

@@ -614,6 +614,119 @@ def cosine_dedup_distributed(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def cosine_dedup_lsh(
+    ds: ray.data.Dataset,
+    *,
+    threshold: float = 0.9,
+    n_planes: int = 12,
+    bands: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 11,
+) -> ray.data.Dataset:
+    """Sub-quadratic embedding-cosine near-dup removal — the SCALE path
+    next to :func:`cosine_dedup_distributed` (whose chunk-pair work
+    list is quadratic in corpus size; right up to ~1M vectors, wrong at
+    100 TB).
+
+    Same pipeline shape as the MinHash text dedup
+    (pipelines/dedup_pipeline.py): ``bands`` independent hyperplane
+    signatures bucket each vector → ONE sort co-locating (band, bucket)
+    → vectorized run-scan candidate pairs → distributed pair dedupe →
+    exact-cosine verify of the dup-proportional candidate set (vectors
+    for candidate ids broadcast once — result-sized, the same bound as
+    the removal set) → broadcast removal filter. Only (band, bucket,
+    id) int64 rows ever shuffle; vectors never leave their read tasks
+    except for the candidate subset.
+
+    Recall is probabilistic (per-band collision P = (1-θ/π)^n_planes;
+    miss P = (1-p)^bands — measured vs the exact path in tests);
+    precision is exact (every emitted removal is cosine-verified).
+    """
+    from logpipe_ray.pipelines.dedup_pipeline import pairs_from_sorted_runs
+    from logpipe_ray.stages.smallagg import count_partials, fold_partials
+
+    def explode(b: pa.Table) -> pa.Table:
+        mat = _normalize(_matrix(b[vec_col]))
+        ids = pa.compute.cast(b[id_col], pa.int64())
+        parts = []
+        for band in range(bands):
+            sig = hyperplane_signatures(mat, n_planes, seed=seed + 7919 * band)
+            parts.append(
+                pa.table(
+                    {
+                        "band_id": pa.array(
+                            np.full(len(sig), band, dtype=np.int64)
+                        ),
+                        "band_hash": pa.array(sig, type=pa.int64()),
+                        "doc_id": ids,
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    band_rows = ds.map_batches(explode, batch_format="pyarrow")
+    cand = band_rows.sort(["band_id", "band_hash"]).map_batches(
+        pairs_from_sorted_runs, batch_format="pyarrow", batch_size=None
+    )
+    # distributed pair dedupe, then collect the dup-proportional edges
+    pairs = fold_partials(
+        count_partials(cand, ["doc_a", "doc_b"], out_col="n_bands"),
+        ["doc_a", "doc_b"],
+        "n_bands",
+    )
+    cand_pairs: list[tuple[int, int]] = []
+    cand_ids: set[int] = set()
+    for b in pairs.iter_batches(batch_format="pyarrow", batch_size=65536):
+        a = b["doc_a"].to_pylist()
+        c = b["doc_b"].to_pylist()
+        cand_pairs.extend(zip(a, c))
+        cand_ids.update(a)
+        cand_ids.update(c)
+
+    # exact-cosine verify: candidate vectors gathered distributed
+    # (filter inside map_batches), then one vectorized row-wise dot
+    ids_ref = ray.put(np.fromiter(cand_ids, dtype=np.int64, count=len(cand_ids)))
+
+    def gather(b: pa.Table) -> pa.Table:
+        want = ray.get(ids_ref)
+        ids = pa.compute.cast(b[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        mask = np.isin(ids, want)
+        sub = b.filter(pa.array(mask))
+        mat = _normalize(_matrix(sub[vec_col])).astype(np.float32)
+        return pa.table(
+            {
+                "vid": pa.compute.cast(sub[id_col], pa.int64()),
+                "vec": pa.array([m.tobytes() for m in mat], type=pa.binary()),
+            }
+        )
+
+    vecs: dict[int, np.ndarray] = {}
+    for b in ds.map_batches(gather, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=65536
+    ):
+        for vid, raw in zip(b["vid"].to_pylist(), b["vec"].to_pylist()):
+            vecs[vid] = np.frombuffer(raw, dtype=np.float32)
+
+    removed: set[int] = set()
+    if cand_pairs:
+        a_mat = np.stack([vecs[a] for a, _ in cand_pairs])
+        b_mat = np.stack([vecs[b] for _, b in cand_pairs])
+        cos = np.einsum("ij,ij->i", a_mat, b_mat)
+        for (a, b), c in zip(cand_pairs, cos):
+            if c >= threshold:
+                removed.add(max(a, b))
+
+    removed_ref = ray.put(np.fromiter(removed, dtype=np.int64, count=len(removed)))
+
+    def keep(b: pa.Table) -> pa.Table:
+        gone = ray.get(removed_ref)
+        ids = pa.compute.cast(b[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(~np.isin(ids, gone)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def topk_cosine_pairs(
     table: pa.Table,
     *,

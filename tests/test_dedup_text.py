@@ -418,3 +418,49 @@ class TestCosineDedup:
         assert got == sorted(expect)
         assert 23 not in got and 21 not in got  # dup of 0 and near-dup of 1 dropped
         assert set(range(20)) <= set(got) or True  # base vectors mostly survive
+
+    def test_lsh_variant_matches_exact_on_planted(self, ray_session):
+        """cosine_dedup_lsh (sub-quadratic scale path) removes exactly
+        the same set as the exact chunk-pair path on a planted corpus:
+        planted partners sit at cosine ≈ 0.9999 where the per-band
+        collision probability is (1-θ/π)^12 ≈ 0.95, so the 8-band miss
+        probability is ~1e-10; independent Gaussian pairs sit far below
+        the threshold and any accidental candidate is cosine-verified."""
+        import ray.data
+
+        from logpipe_ray.stages.similarity import (
+            cosine_dedup_distributed,
+            cosine_dedup_lsh,
+        )
+
+        rng = np.random.RandomState(17)
+        n, d = 2000, 32
+        base = rng.randn(n, d).astype("float32")
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        planted = np.arange(0, n, 41)
+        partners = base[planted] + 0.01 * rng.randn(len(planted), d).astype(
+            "float32"
+        )
+        ids = np.concatenate([np.arange(n), planted + n]).astype("int64")
+        mat = np.concatenate([base, partners])
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "embedding": pa.array(
+                    [r.tolist() for r in mat], type=pa.list_(pa.float32())
+                ),
+            }
+        )
+        ds = ray.data.from_arrow(tbl)
+        exact = sorted(
+            r["vec_id"]
+            for r in cosine_dedup_distributed(
+                ds, threshold=0.9, chunk_rows=512
+            ).take_all()
+        )
+        lsh = sorted(
+            r["vec_id"]
+            for r in cosine_dedup_lsh(ds, threshold=0.9).take_all()
+        )
+        assert lsh == exact
+        assert len(lsh) == n  # exactly the planted partners removed
