@@ -332,6 +332,84 @@ def _q_seq_unpack_roundtrip(sf_dir: str):
     )
 
 
+def _q_dedup_incremental(sf_dir: str):
+    """Incremental (corpus-vs-arriving-batch) exact dedup over the token
+    payload: rows with seq%5==0 are the arriving batch, the rest the
+    existing corpus. A new row is kept iff its token content appears
+    nowhere in the corpus; first-wins (min doc_id) inside the batch.
+
+    Scale shape: membership is decided by ONE keyed shuffle of per-batch
+    pre-combined (hash, corpus_n, new_n, min new doc) partial rows — the
+    corpus hash set is never broadcast and never collected, so the
+    corpus side can be arbitrarily large. Token bytes never shuffle
+    (content hash only; tokens are a pure function of m in the synth
+    table, so the oracle can key on m — see seq_dedup_exact)."""
+    from ray.data.aggregate import Min, Sum
+
+    from logpipe_ray.functions.tokens import add_tokens_hash
+    from logpipe_ray.sources.sequences import synthesize_sequences
+
+    ds = synthesize_sequences(sf_dir)
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = add_tokens_hash(b)
+        seq = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(b["doc_id"], r"-(?P<seq>\d+)$"), "seq"
+            ),
+            pa.int64(),
+        )
+        is_new = pc.equal(
+            pc.subtract(seq, pc.multiply(pc.divide(seq, 5), 5)), 0
+        )
+        t = pa.table(
+            {
+                "tokens_hash": b["tokens_hash"],
+                "corpus_n": pc.cast(pc.invert(is_new), pa.int64()),
+                "new_n": pc.cast(is_new, pa.int64()),
+                "new_doc": pc.if_else(
+                    is_new, b["doc_id"], pa.scalar(None, pa.string())
+                ),
+            }
+        )
+        # per-batch combiner: ≤ distinct-hashes rows leave the block
+        g = t.group_by("tokens_hash").aggregate(
+            [("corpus_n", "sum"), ("new_n", "sum"), ("new_doc", "min")]
+        )
+        return g.rename_columns(
+            [
+                c[: -len("_sum")]
+                if c.endswith("_sum")
+                else (c[: -len("_min")] if c.endswith("_min") else c)
+                for c in g.column_names
+            ]
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("tokens_hash")
+        .aggregate(
+            Sum("corpus_n", alias_name="corpus_n"),
+            Sum("new_n", alias_name="n_copies"),
+            Min("new_doc", alias_name="doc_id"),
+        )
+    )
+
+    def final(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(b["corpus_n"], 0), pc.greater(b["n_copies"], 0)
+        )
+        b = b.filter(keep)
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.string()),
+                "n_copies": pc.cast(b["n_copies"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -353,6 +431,10 @@ def entry() -> Any:
 # queries green in both prior rounds take the tail.
 _DRIVER_PRIORITY = [
     # new / fixed / changed this round
+    "dedup_incremental",
+    "dedup_keep_best",
+    "quality_percentile_filter",
+    "events_group_topk",
     "embed_dedup_lsh",
     "exec_source",
     "kafka_log_source",
@@ -436,6 +518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_pack_sums": _q_seq_pack_sums,
         "seq_chunk": _q_seq_chunk,
         "vocab_topk": _q_vocab_topk,
+        "dedup_incremental": _q_dedup_incremental,
     }
     out.update(QUERIES)
     return _driver_order(out)
@@ -527,6 +610,17 @@ def oracle_sql() -> dict[str, str]:
                count(*) - count(DISTINCT list_transform(range(0, CAST(n_tok AS INT)),
                      i -> (m*1000003 + i*10007) % 50257)) AS n_dupe_rows
              FROM sequences""",
+        # tokens are a pure function of m (see seq_dedup_exact): content
+        # membership across corpus/new == m membership
+        "dedup_incremental": SEQ_CTE
+        + """, tagged AS (
+               SELECT doc_id, m, (seq % 5 = 0) AS is_new FROM sequences
+             )
+             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+             FROM tagged
+             WHERE is_new
+               AND m NOT IN (SELECT m FROM tagged WHERE NOT is_new)
+             GROUP BY m""",
     }
     out.update(ORACLES)
     return _driver_order(out)

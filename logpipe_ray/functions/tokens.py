@@ -65,3 +65,37 @@ def token_histogram_partials(
             "n": pa.array(counts[nz], type=pa.int64()),
         }
     )
+
+
+def add_tokens_hash(
+    batch: pa.Table, *, tokens_col: str = "tokens", out_col: str = "tokens_hash"
+) -> pa.Table:
+    """Append an int64 content hash of each row's token array.
+
+    blake2b over the row's slice of the little-endian int32 value
+    buffer (content hash — Python ``hash()`` is process-salted and
+    cannot key a cross-worker shuffle). Offsets come straight from the
+    Arrow list buffers; the only per-row work is one C digest call."""
+    import hashlib
+
+    col = batch[tokens_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offsets = col.offsets.to_numpy().astype(np.int64)
+    raw = np.ascontiguousarray(
+        col.values.to_numpy(zero_copy_only=False), dtype="<i4"
+    ).tobytes()
+    h = hashlib.blake2b
+    vals = np.fromiter(
+        (
+            int.from_bytes(
+                h(raw[offsets[i] * 4 : offsets[i + 1] * 4], digest_size=8).digest(),
+                "big",
+            )
+            >> 1
+            for i in range(len(col))
+        ),
+        dtype=np.int64,
+        count=len(col),
+    )
+    return batch.append_column(out_col, pa.array(vals, type=pa.int64()))

@@ -136,6 +136,87 @@ def events_topk(sf_dir: str):
     return top_k(ds, key_col="user_id", value_col="value", k=10)
 
 
+@query(
+    "events_group_topk",
+    """SELECT event_type, user_id, total_cents, rnk FROM (
+         SELECT event_type, user_id,
+                CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                  AS total_cents,
+                CAST(row_number() OVER (
+                  PARTITION BY event_type
+                  ORDER BY sum(CAST(round(value*100) AS BIGINT)) DESC, user_id
+                ) AS BIGINT) AS rnk
+         FROM events GROUP BY event_type, user_id
+       ) t WHERE rnk <= 3""",
+)
+def events_group_topk(sf_dir: str):
+    """Per-group top-k (rank within partition): top-3 spenders per event
+    type. Per-batch arrow group_by pre-aggregates, so at most
+    types×users rows leave any block; ``fold_partials`` combines them
+    without a keyed shuffle (bounded key cardinality — the
+    empty-reduce-partition guard, see stages/smallagg.py); the rank /
+    take-3 is one vectorized lexsort over the combined table."""
+    import numpy as np
+
+    from logpipe_ray.stages.smallagg import fold_partials
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": b["event_type"],
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "total_cents": _cents(b["value"]),
+            }
+        )
+        g = t.group_by(["event_type", "user_id"]).aggregate(
+            [("total_cents", "sum")]
+        )
+        g = g.rename_columns(
+            [c[: -len("_sum")] if c.endswith("_sum") else c for c in g.column_names]
+        )
+        return g.select(["event_type", "user_id", "total_cents"])
+
+    agg = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "user_id"],
+        "total_cents",
+    )
+
+    out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("user_id", pa.int64()),
+            ("total_cents", pa.int64()),
+            ("rnk", pa.int64()),
+        ]
+    )
+
+    def rank3(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        et = b["event_type"].combine_chunks().to_numpy(zero_copy_only=False)
+        uid = b["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        tc = b["total_cents"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((uid, -tc, et))  # type asc, cents desc, user asc
+        et_s = et[order]
+        starts = np.concatenate(([0], np.flatnonzero(et_s[1:] != et_s[:-1]) + 1))
+        run_lens = np.diff(np.concatenate((starts, [len(et_s)])))
+        rnk = np.arange(len(et_s)) - np.repeat(starts, run_lens) + 1
+        keep = order[rnk <= 3]
+        return pa.table(
+            {
+                "event_type": pa.array(et[keep], type=pa.string()),
+                "user_id": pa.array(uid[keep], type=pa.int64()),
+                "total_cents": pa.array(tc[keep], type=pa.int64()),
+                "rnk": pa.array(rnk[rnk <= 3], type=pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rank3, batch_format="pyarrow", batch_size=None)
+
+
 @query("events_distinct_types", "SELECT DISTINCT event_type FROM events")
 def events_distinct_types(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type"])
@@ -471,6 +552,48 @@ def quality_score(sf_dir: str):
 
 
 @query(
+    "quality_percentile_filter",
+    # threshold = exact rank floor((n-1)*0.25) (0-based) of the sorted
+    # values; the window form below pins the identical definition
+    """WITH ranked AS (
+         SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS rn,
+                count(*) OVER () AS n
+         FROM documents
+       ), thr AS (
+         SELECT n_chars AS t FROM ranked
+         WHERE rn = CAST(floor((n-1)*0.25) AS BIGINT) + 1
+       )
+       SELECT d.doc_id, d.n_chars FROM documents d, thr WHERE d.n_chars >= thr.t""",
+)
+def quality_percentile_filter(sf_dir: str):
+    """Corpus-relative quality gate: drop the bottom quartile by doc
+    length (the "filter below corpus p25" curation pattern — the cut
+    point depends on the corpus, not a constant).
+
+    Exact percentile WITHOUT a global sort: per-block value-count
+    partials (≤ distinct-lengths rows leave any block), one combine
+    task folds the histogram, the exact rank-floor((n-1)*q) threshold
+    is read off the cumulative counts, and a broadcast compare filters
+    the stream. Two passes; the driver holds only the histogram
+    (bounded by distinct metric values, not corpus rows)."""
+    import numpy as np
+
+    from logpipe_ray.stages.smallagg import count_partials, fold_partials
+
+    Q = 0.25
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    hist = fold_partials(count_partials(ds, "n_chars"), "n_chars", "n").to_pandas()
+    hist = hist.sort_values("n_chars").reset_index(drop=True)
+    cum = hist["n"].to_numpy().cumsum()
+    rank = int((cum[-1] - 1) * Q)  # 0-based floor
+    thr = int(hist["n_chars"].iloc[int(np.searchsorted(cum, rank + 1))])
+    return ds.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["n_chars"], thr)),
+        batch_format="pyarrow",
+    )
+
+
+@query(
     "doc_repetition",
     """WITH wc AS (
          SELECT doc_id, w, count(*) AS c
@@ -605,6 +728,103 @@ def dedup_exact(sf_dir: str):
     )
     return out.map_batches(
         lambda b: _i64(b.select(["doc_id", "n_copies"]), ["doc_id", "n_copies"]),
+        batch_format="pyarrow",
+    )
+
+
+@query(
+    "dedup_keep_best",
+    r"""WITH k AS (
+         SELECT doc_id, n_chars,
+                list_sort(list_distinct(regexp_extract_all(text, '\S+'))) AS ws
+         FROM documents
+       ), g AS (
+         SELECT ws, count(*) AS n_copies,
+                CAST(max(n_chars) AS BIGINT) AS n_chars
+         FROM k GROUP BY ws
+       )
+       SELECT CAST(min(k.doc_id) AS BIGINT) AS doc_id, g.n_chars, g.n_copies
+       FROM k JOIN g ON k.ws = g.ws AND k.n_chars = g.n_chars
+       GROUP BY g.ws, g.n_chars, g.n_copies""",
+)
+def dedup_keep_best(sf_dir: str):
+    """Canonical-content dedup that keeps the BEST copy, not the first:
+    docs grouped by their distinct-word SET (order-, multiplicity- and
+    whitespace-insensitive), the longest copy wins (tie: lowest doc_id)
+    — the "keep the highest-quality duplicate" curation pattern, vs
+    dedup_exact's min-id-wins.
+
+    Distributed shape: per-batch vectorized set fingerprints (one arrow
+    whitespace split + one hash_array over the flat word buffer —
+    batch_shingles with ngram=1 — then a per-row wraparound sum of the
+    DISTINCT word hashes), per-batch partial argmax so ≤ n_groups rows
+    leave any block, ONE keyed shuffle of slim partial rows folds
+    (max n_chars, min doc_id among maxes, count) per fingerprint.
+    The text itself never shuffles."""
+    import numpy as np
+    from ray.data.aggregate import AggregateFn, Sum
+
+    from logpipe_ray.stages.dedup import batch_shingles
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    empty = pa.schema(
+        [
+            ("ws_fp", pa.int64()),
+            ("doc_id", pa.int64()),
+            ("n_chars", pa.int64()),
+            ("n_copies", pa.int64()),
+        ]
+    ).empty_table()
+
+    def partials(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        off, wh = batch_shingles(b["text"], ngram=1)  # per-row DISTINCT words
+        cs = np.zeros(len(wh) + 1, dtype=np.uint64)
+        np.cumsum(wh, out=cs[1:])
+        fp = ((cs[off[1:]] - cs[off[:-1]]) >> np.uint64(1)).astype(np.int64)
+        doc = pc.cast(b["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        nc = pc.cast(b["n_chars"], pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, -nc, fp))  # fp asc, n_chars desc, doc asc
+        fps = fp[order]
+        starts = np.concatenate(([0], np.flatnonzero(fps[1:] != fps[:-1]) + 1))
+        counts = np.diff(np.concatenate((starts, [len(fps)])))
+        best = order[starts]  # first per fp run = (max n_chars, min doc)
+        return pa.table(
+            {
+                "ws_fp": pa.array(fp[best], type=pa.int64()),
+                "doc_id": pa.array(doc[best], type=pa.int64()),
+                "n_chars": pa.array(nc[best], type=pa.int64()),
+                "n_copies": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partials, batch_format="pyarrow")
+
+    # fold partials: state = (n_chars, -doc_id) lexmax tuple; two
+    # aggregates share the kernel and finalize different components
+    def _acc(a, blk: pa.Table):
+        nc = blk["n_chars"].to_numpy(zero_copy_only=False)
+        did = blk["doc_id"].to_numpy(zero_copy_only=False)
+        i = int(np.lexsort((did, -nc))[0])
+        return max(a, (int(nc[i]), -int(did[i])))
+
+    def _best(name: str, pick):
+        return AggregateFn(
+            init=lambda k: (-(1 << 62), -(1 << 62)),
+            accumulate_block=_acc,
+            merge=lambda a, b: max(a, b),
+            finalize=pick,
+            name=name,
+        )
+
+    agg = parts.groupby("ws_fp").aggregate(
+        _best("doc_id", lambda a: -a[1]),
+        _best("n_chars", lambda a: a[0]),
+        Sum("n_copies", alias_name="n_copies"),
+    )
+    return agg.map_batches(
+        lambda b: b.select(["doc_id", "n_chars", "n_copies"]),
         batch_format="pyarrow",
     )
 
