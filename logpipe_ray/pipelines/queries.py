@@ -1663,33 +1663,16 @@ def events_sliding(sf_dir: str):
     None,  # oracle registered by __ray_entry__ (needs SEQ_CTE)
 )
 def seq_dedup_exact(sf_dir: str):
-    """Exact dedup over the token payload: blake2b of the token bytes →
+    """Exact dedup over the token payload: vectorized content hash of
+    the token arrays (functions/tokens.token_content_hashes) →
     groupby(hash) → (one row) corpus dedup stats."""
-    import hashlib
-
+    from logpipe_ray.functions.tokens import add_tokens_hash
     from logpipe_ray.sources.sequences import synthesize_sequences
 
     ds = synthesize_sequences(sf_dir)
 
     def hash_tokens(b: pa.Table) -> pa.Table:
-        col = b["tokens"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        import numpy as np
-
-        offsets = col.offsets.to_numpy()
-        vals = col.values.to_numpy(zero_copy_only=False).astype("<i4").tobytes()
-        hashes = [
-            int.from_bytes(
-                hashlib.blake2b(
-                    vals[offsets[i] * 4 : offsets[i + 1] * 4], digest_size=8
-                ).digest(),
-                "big",
-            )
-            >> 1
-            for i in range(len(col))
-        ]
-        return pa.table({"tokens_hash": pa.array(hashes, type=pa.int64())})
+        return add_tokens_hash(b).select(["tokens_hash"])
 
     hashed = ds.map_batches(hash_tokens, batch_format="pyarrow")
     groups = hashed.groupby("tokens_hash").aggregate(Count(alias_name="n"))

@@ -172,3 +172,52 @@ def test_repetition_stats_match_counter(texts):
         assert out["top_bigram_count"][i].as_py() == (
             max(bg.values()) if bg else 0
         )
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=50256), max_size=40),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_token_content_hash_is_content_function(lists):
+    """Equal token arrays hash equal; the hash is order- and
+    boundary-sensitive; slicing the batch doesn't change row hashes."""
+    import numpy as np
+
+    from logpipe_ray.functions.tokens import add_tokens_hash
+
+    arr = pa.array(lists, type=pa.list_(pa.int32()))
+    t = pa.table({"tokens": arr})
+    h = add_tokens_hash(t)["tokens_hash"].to_pylist()
+    # pure function of content: recompute row-by-row matches
+    for i, row in enumerate(lists):
+        single = pa.table({"tokens": pa.array([row], type=pa.list_(pa.int32()))})
+        assert add_tokens_hash(single)["tokens_hash"][0].as_py() == h[i]
+    # sliced-table offsets handled
+    h_tail = add_tokens_hash(t.slice(1))["tokens_hash"].to_pylist()
+    assert h_tail == h[1:]
+    # equal content ⇔ equal hash on these examples (no false merges)
+    keys = [tuple(r) for r in lists]
+    by_hash, by_key = {}, {}
+    for k, hv in zip(keys, h):
+        by_hash.setdefault(hv, set()).add(k)
+        by_key.setdefault(k, set()).add(hv)
+    assert all(len(s) == 1 for s in by_hash.values())
+    assert all(len(s) == 1 for s in by_key.values())
+
+
+def test_token_content_hash_order_and_boundary_sensitivity():
+    import numpy as np
+
+    from logpipe_ray.functions.tokens import token_content_hashes
+
+    off = np.array([0, 3, 6, 10, 13, 14], dtype=np.int64)
+    vals = np.array([1, 2, 3, 3, 2, 1, 4, 1, 2, 3, 1, 2, 3, 1], dtype=np.int64)
+    h = token_content_hashes(off, vals)
+    assert h[0] != h[1]  # permutation differs
+    assert h[0] != h[2]  # prefixed differs
+    assert h[0] == h[3]  # same content equal
+    assert h[0] != h[4]  # prefix-of differs
