@@ -431,6 +431,8 @@ def entry() -> Any:
 # queries green in both prior rounds take the tail.
 _DRIVER_PRIORITY = [
     # new / fixed / changed this round
+    "decontaminate_ngram",
+    "source_cap",
     "dedup_incremental",
     "dedup_keep_best",
     "quality_percentile_filter",

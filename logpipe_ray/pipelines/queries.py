@@ -916,6 +916,82 @@ _EXACT_PAIRS_CTE = r"""WITH RECURSIVE w AS (
 
 
 @query(
+    "decontaminate_ngram",
+    r"""WITH w AS (
+         SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
+       ), sh AS (
+         SELECT doc_id,
+                list_distinct(list_transform(range(1, length(ws) - 1),
+                              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+         FROM w
+       ), bench AS (
+         SELECT list_distinct(flatten(list(s))) AS bs FROM sh WHERE doc_id % 50 = 0
+       )
+       SELECT doc_id,
+              CAST(length(list_intersect(s, bs)) AS BIGINT) AS n_overlap
+       FROM sh, bench
+       WHERE doc_id % 50 != 0 AND length(list_intersect(s, bs)) > 0""",
+)
+def decontaminate_ngram(sf_dir: str):
+    """Benchmark decontamination: flag training docs sharing any word
+    3-gram with a held-out benchmark set (docs with doc_id%50==0 stand
+    in for the benchmark) — the eval-leakage gate of LLM data curation;
+    n_overlap = how many of the doc's distinct shingles are leaked.
+
+    Distributed shape: benchmark shingle hashes are a distributed
+    distinct (benchmark sets are small by definition), broadcast once
+    via ray.put; the corpus streams through one map_batches that marks
+    per-row distinct-shingle membership with a vectorized searchsorted
+    against the sorted benchmark array — corpus text never shuffles,
+    no join, one pass over the corpus."""
+    import numpy as np
+
+    import ray as _ray
+
+    from logpipe_ray.stages.dedup import batch_shingles
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _bench_mask(b: pa.Table, bench: bool) -> pa.Table:
+        rem = pc.subtract(b["doc_id"], pc.multiply(pc.divide(b["doc_id"], 50), 50))
+        return b.filter(pc.equal(rem, 0) if bench else pc.not_equal(rem, 0))
+
+    def bench_partial(b: pa.Table) -> pa.Table:
+        _, h = batch_shingles(_bench_mask(b, True)["text"])
+        # uint64 hashes ride Arrow as reinterpreted int64 bits
+        return pa.table({"h": pa.array(np.unique(h).view(np.int64))})
+
+    bench_hashes = (
+        ds.map_batches(bench_partial, batch_format="pyarrow").unique("h")
+    )
+    bench_arr = np.array(bench_hashes, dtype=np.int64).view(np.uint64)
+    bench_arr.sort()
+    bench_ref = _ray.put(bench_arr)
+
+    def mark(b: pa.Table) -> pa.Table:
+        b = _bench_mask(b, False)
+        bh = _ray.get(bench_ref)
+        off, h = batch_shingles(b["text"])
+        if len(bh) == 0:
+            hit = np.zeros(len(h), dtype=bool)
+        else:
+            idx = np.searchsorted(bh, h)
+            hit = (idx < len(bh)) & (bh[np.minimum(idx, len(bh) - 1)] == h)
+        cs = np.zeros(len(h) + 1, dtype=np.int64)
+        np.cumsum(hit, out=cs[1:])
+        n_overlap = cs[off[1:]] - cs[off[:-1]]
+        keep = n_overlap > 0
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()).filter(pa.array(keep)),
+                "n_overlap": pa.array(n_overlap[keep], type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(mark, batch_format="pyarrow")
+
+
+@query(
     "dedup_minhash_lsh",
     _EXACT_PAIRS_CTE + "\nSELECT doc_a, doc_b, jaccard_bp FROM verified",
 )
@@ -1192,6 +1268,53 @@ def train_val_split(sf_dir: str):
         )
 
     return ds.map_batches(split, batch_format="pyarrow")
+
+
+@query(
+    "source_cap",
+    """SELECT doc_id, source FROM (
+         SELECT doc_id, source,
+                row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+         FROM documents
+       ) t WHERE rn <= 10""",
+)
+def source_cap(sf_dir: str):
+    """Per-domain contribution cap (data mixing): keep at most 10 docs
+    per source, deterministic first-by-doc_id — the "no domain may
+    dominate the mix" curation op.
+
+    Distributed shape: per-batch vectorized partial cap (one lexsort;
+    ≤ cap×sources rows leave any block), then the SAME kernel folds the
+    combined partials in one task (sources are dimension-bounded) — no
+    corpus sort, doc rows beyond the partial caps never shuffle."""
+    import numpy as np
+
+    CAP = 10
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    schema = pa.schema([("doc_id", pa.int64()), ("source", pa.string())])
+
+    def cap_per_source(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return schema.empty_table()
+        src = b["source"].combine_chunks().to_numpy(zero_copy_only=False)
+        doc = pc.cast(b["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, src))
+        ss = src[order]
+        starts = np.concatenate(([0], np.flatnonzero(ss[1:] != ss[:-1]) + 1))
+        run_lens = np.diff(np.concatenate((starts, [len(ss)])))
+        rnk = np.arange(len(ss)) - np.repeat(starts, run_lens)
+        keep = order[rnk < CAP]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[keep], type=pa.int64()),
+                "source": pa.array(src[keep], type=pa.string()),
+            }
+        )
+
+    partials = ds.map_batches(cap_per_source, batch_format="pyarrow")
+    return partials.repartition(1).map_batches(
+        cap_per_source, batch_format="pyarrow", batch_size=None
+    )
 
 
 @query(
