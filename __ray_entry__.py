@@ -64,6 +64,13 @@ WITH seqs AS (
 """
 
 
+def _pc_mod(col, n: int):
+    """Arrow integer modulo (no pc.mod kernel): x - (x//n)*n; arrow's
+    divide truncates toward zero, so valid for the NON-NEGATIVE seq/m
+    keys used here."""
+    return pc.subtract(col, pc.multiply(pc.divide(col, n), n))
+
+
 def _i64(batch: pa.Table, cols: list[str]) -> pa.Table:
     for c in cols:
         batch = batch.set_column(
@@ -162,7 +169,7 @@ def _packed_ds(sf_dir: str):
             ),
             pa.int64(),
         )
-        line = pc.subtract(seq, pc.multiply(pc.divide(seq, 1048573), 1048573))
+        line = _pc_mod(seq, 1048573)
         b = b.append_column("offset", seq)
         b = b.append_column("line", line)
         return pack_metadata(
@@ -187,9 +194,7 @@ def _q_seq_sample(sf_dir: str):
             ),
             pa.int64(),
         )
-        keep = pc.equal(
-            pc.subtract(seq, pc.multiply(pc.divide(seq, 20), 20)), 3
-        )
+        keep = pc.equal(_pc_mod(seq, 20), 3)
         b = b.filter(keep)
         return _i64(b.select(["doc_id", "source", "n_tok"]), ["n_tok"])
 
@@ -359,9 +364,7 @@ def _q_dedup_incremental(sf_dir: str):
             ),
             pa.int64(),
         )
-        is_new = pc.equal(
-            pc.subtract(seq, pc.multiply(pc.divide(seq, 5), 5)), 0
-        )
+        is_new = pc.equal(_pc_mod(seq, 5), 0)
         t = pa.table(
             {
                 "tokens_hash": b["tokens_hash"],

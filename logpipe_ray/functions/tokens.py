@@ -112,7 +112,13 @@ def token_content_hashes(offsets: np.ndarray, values: np.ndarray) -> np.ndarray:
     # this kernel is memory-bandwidth-bound)
     d = np.ones(n, dtype=np.uint64)
     if len(offsets) > 2:
-        d[offsets[1:-1]] -= lens[:-1].astype(np.uint64)
+        # np.subtract.at, NOT fancy-index -=: EMPTY rows give duplicate
+        # boundary offsets, whose decrements must ACCUMULATE at the one
+        # shared start index; boundaries at n (trailing empty rows) own
+        # no elements and are skipped
+        b = offsets[1:-1]
+        in_range = b < n
+        np.subtract.at(d, b[in_range], lens[:-1].astype(np.uint64)[in_range])
     np.cumsum(d, out=d)  # d = pos+1
     d *= _PRIME
     elem = values.astype(np.uint64)

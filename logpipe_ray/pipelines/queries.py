@@ -45,6 +45,14 @@ def _i64(batch: pa.Table, cols: list[str]) -> pa.Table:
     return batch
 
 
+def _pc_mod(col, n: int):
+    """Arrow integer modulo (no pc.mod kernel exists): x - (x//n)*n.
+    Arrow's integer divide truncates toward zero, so this matches SQL
+    ``%`` only for NON-NEGATIVE x — every caller keys on non-negative
+    ids/sequence numbers."""
+    return pc.subtract(col, pc.multiply(pc.divide(col, n), n))
+
+
 def _cents(col) -> pa.Array:
     return pc.cast(
         # duckdb round() is half-away-from-zero = arrow "half_towards_infinity"
@@ -196,14 +204,13 @@ def events_group_topk(sf_dir: str):
     def rank3(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return out_schema.empty_table()
+        from logpipe_ray.stages.smallagg import run_ranks
+
         et = b["event_type"].combine_chunks().to_numpy(zero_copy_only=False)
         uid = b["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
         tc = b["total_cents"].combine_chunks().to_numpy(zero_copy_only=False)
         order = np.lexsort((uid, -tc, et))  # type asc, cents desc, user asc
-        et_s = et[order]
-        starts = np.concatenate(([0], np.flatnonzero(et_s[1:] != et_s[:-1]) + 1))
-        run_lens = np.diff(np.concatenate((starts, [len(et_s)])))
-        rnk = np.arange(len(et_s)) - np.repeat(starts, run_lens) + 1
+        rnk = run_ranks(et[order]) + 1
         keep = order[rnk <= 3]
         return pa.table(
             {
@@ -583,6 +590,8 @@ def quality_percentile_filter(sf_dir: str):
     Q = 0.25
     ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
     hist = fold_partials(count_partials(ds, "n_chars"), "n_chars", "n").to_pandas()
+    if hist.empty:  # empty corpus → nothing passes (or fails) the gate
+        return ds
     hist = hist.sort_values("n_chars").reset_index(drop=True)
     cum = hist["n"].to_numpy().cumsum()
     rank = int((cum[-1] - 1) * Q)  # 0-based floor
@@ -783,12 +792,13 @@ def dedup_keep_best(sf_dir: str):
         cs = np.zeros(len(wh) + 1, dtype=np.uint64)
         np.cumsum(wh, out=cs[1:])
         fp = ((cs[off[1:]] - cs[off[:-1]]) >> np.uint64(1)).astype(np.int64)
+        from logpipe_ray.stages.smallagg import run_starts
+
         doc = pc.cast(b["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
         nc = pc.cast(b["n_chars"], pa.int64()).to_numpy(zero_copy_only=False)
         order = np.lexsort((doc, -nc, fp))  # fp asc, n_chars desc, doc asc
-        fps = fp[order]
-        starts = np.concatenate(([0], np.flatnonzero(fps[1:] != fps[:-1]) + 1))
-        counts = np.diff(np.concatenate((starts, [len(fps)])))
+        starts = run_starts(fp[order])
+        counts = np.diff(np.concatenate((starts, [len(order)])))
         best = order[starts]  # first per fp run = (max n_chars, min doc)
         return pa.table(
             {
@@ -953,7 +963,7 @@ def decontaminate_ngram(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def _bench_mask(b: pa.Table, bench: bool) -> pa.Table:
-        rem = pc.subtract(b["doc_id"], pc.multiply(pc.divide(b["doc_id"], 50), 50))
+        rem = _pc_mod(b["doc_id"], 50)
         return b.filter(pc.equal(rem, 0) if bench else pc.not_equal(rem, 0))
 
     def bench_partial(b: pa.Table) -> pa.Table:
@@ -1296,14 +1306,12 @@ def source_cap(sf_dir: str):
     def cap_per_source(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return schema.empty_table()
+        from logpipe_ray.stages.smallagg import run_ranks
+
         src = b["source"].combine_chunks().to_numpy(zero_copy_only=False)
         doc = pc.cast(b["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
         order = np.lexsort((doc, src))
-        ss = src[order]
-        starts = np.concatenate(([0], np.flatnonzero(ss[1:] != ss[:-1]) + 1))
-        run_lens = np.diff(np.concatenate((starts, [len(ss)])))
-        rnk = np.arange(len(ss)) - np.repeat(starts, run_lens)
-        keep = order[rnk < CAP]
+        keep = order[run_ranks(src[order]) < CAP]
         return pa.table(
             {
                 "doc_id": pa.array(doc[keep], type=pa.int64()),
@@ -1786,9 +1794,10 @@ def events_sliding(sf_dir: str):
     None,  # oracle registered by __ray_entry__ (needs SEQ_CTE)
 )
 def seq_dedup_exact(sf_dir: str):
-    """Exact dedup over the token payload: vectorized content hash of
-    the token arrays (functions/tokens.token_content_hashes) →
-    groupby(hash) → (one row) corpus dedup stats."""
+    """Exact dedup over the token payload: per-row blake2b content hash
+    of the token bytes (functions/tokens.add_tokens_hash — measured
+    faster than the vectorized kernel at these row lengths, see its
+    docstring) → groupby(hash) → (one row) corpus dedup stats."""
     from logpipe_ray.functions.tokens import add_tokens_hash
     from logpipe_ray.sources.sequences import synthesize_sequences
 

@@ -104,6 +104,27 @@ def count_partials(
     return ds.map_batches(partial, batch_format="pyarrow")
 
 
+def run_starts(sorted_keys: np.ndarray) -> np.ndarray:
+    """Start indices of equal-key runs in a SORTED key array — the
+    numpy-array companion to :func:`_group_bounds` for the lexsort →
+    run-scan partial-aggregate kernels (per-group argmax / cap / rank)."""
+    n = len(sorted_keys)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    return np.concatenate(
+        ([0], np.flatnonzero(sorted_keys[1:] != sorted_keys[:-1]) + 1)
+    )
+
+
+def run_ranks(sorted_keys: np.ndarray) -> np.ndarray:
+    """0-based rank of each element within its equal-key run (keys must
+    be sorted/grouped)."""
+    n = len(sorted_keys)
+    starts = run_starts(sorted_keys)
+    run_lens = np.diff(np.concatenate((starts, [n])))
+    return np.arange(n, dtype=np.int64) - np.repeat(starts, run_lens)
+
+
 def _group_bounds(tbl: pa.Table, keys: list[str]) -> np.ndarray:
     """Boundary indices of equal-key runs in a key-sorted table."""
     n = tbl.num_rows

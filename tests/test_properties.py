@@ -183,30 +183,43 @@ def test_repetition_stats_match_counter(texts):
 )
 @settings(max_examples=50, deadline=None)
 def test_token_content_hash_is_content_function(lists):
-    """Equal token arrays hash equal; the hash is order- and
-    boundary-sensitive; slicing the batch doesn't change row hashes."""
-    import numpy as np
-
-    from logpipe_ray.functions.tokens import add_tokens_hash
+    """Equal token arrays hash equal (for BOTH kernels — the blake2b
+    add_tokens_hash and the vectorized token_content_hashes, incl.
+    batches with empty rows anywhere); order- and boundary-sensitive;
+    slicing the batch doesn't change row hashes."""
+    from logpipe_ray.functions.tokens import (
+        _list_buffers,
+        add_tokens_hash,
+        token_content_hashes,
+    )
 
     arr = pa.array(lists, type=pa.list_(pa.int32()))
     t = pa.table({"tokens": arr})
     h = add_tokens_hash(t)["tokens_hash"].to_pylist()
+    hv_batch = list(token_content_hashes(*_list_buffers(arr)))
     # pure function of content: recompute row-by-row matches
     for i, row in enumerate(lists):
-        single = pa.table({"tokens": pa.array([row], type=pa.list_(pa.int32()))})
-        assert add_tokens_hash(single)["tokens_hash"][0].as_py() == h[i]
+        single = pa.array([row], type=pa.list_(pa.int32()))
+        assert (
+            add_tokens_hash(pa.table({"tokens": single}))["tokens_hash"][0].as_py()
+            == h[i]
+        )
+        assert token_content_hashes(*_list_buffers(single))[0] == hv_batch[i]
     # sliced-table offsets handled
     h_tail = add_tokens_hash(t.slice(1))["tokens_hash"].to_pylist()
     assert h_tail == h[1:]
-    # equal content ⇔ equal hash on these examples (no false merges)
+    if len(lists) > 1:
+        assert list(token_content_hashes(*_list_buffers(arr.slice(1)))) == hv_batch[1:]
+    # equal content ⇔ equal hash on these examples (no false merges),
+    # for both kernels
     keys = [tuple(r) for r in lists]
-    by_hash, by_key = {}, {}
-    for k, hv in zip(keys, h):
-        by_hash.setdefault(hv, set()).add(k)
-        by_key.setdefault(k, set()).add(hv)
-    assert all(len(s) == 1 for s in by_hash.values())
-    assert all(len(s) == 1 for s in by_key.values())
+    for hashes in (h, hv_batch):
+        by_hash, by_key = {}, {}
+        for k, hv in zip(keys, hashes):
+            by_hash.setdefault(hv, set()).add(k)
+            by_key.setdefault(k, set()).add(hv)
+        assert all(len(s) == 1 for s in by_hash.values())
+        assert all(len(s) == 1 for s in by_key.values())
 
 
 def test_token_content_hash_order_and_boundary_sensitivity():
