@@ -435,6 +435,92 @@ def dedup_bench() -> None:
     del ds2
     gc.collect()
 
+    # keep-best dedup over the same corpus. Correctness observable: by
+    # construction every variant owns unique u{gid}w{i} tokens and every
+    # planted partner adds a unique p{gid} token, so ALL word SETS are
+    # distinct — n_groups must equal n_docs exactly (any shortfall is a
+    # fingerprint false-merge at 100k-doc scale).
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from logpipe_ray.stages.dedup import add_text_hash, keep_best_dedup
+
+    t2 = _time.time()
+    ds3 = ray.data.read_parquet(f"{corpus}/d").map_batches(
+        lambda b: b.append_column(
+            "n_chars", _pc.cast(_pc.utf8_length(b["text"]), _pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+    n_groups = keep_best_dedup(ds3, quality_col="n_chars").count()
+    keep_best_sec = _time.time() - t2
+    del ds3
+    gc.collect()
+
+    # incremental (corpus-vs-arriving-batch) membership over the same
+    # corpus: rows with doc_id%5==0 are the arriving batch. All texts
+    # are unique here, so every new row must survive (n_kept == n_new —
+    # any shortfall is a false drop).
+    from ray.data.aggregate import Sum as _Sum
+
+    t3 = _time.time()
+    ds4 = ray.data.read_parquet(f"{corpus}/d")
+
+    def prep(b: _pa.Table) -> _pa.Table:
+        b = add_text_hash(b)
+        rem = _pc.subtract(
+            b["doc_id"], _pc.multiply(_pc.divide(b["doc_id"], 5), 5)
+        )
+        is_new = _pc.equal(rem, 0)
+        t = _pa.table(
+            {
+                "text_hash": b["text_hash"],
+                "corpus_n": _pc.cast(_pc.invert(is_new), _pa.int64()),
+                "new_n": _pc.cast(is_new, _pa.int64()),
+            }
+        )
+        g = t.group_by("text_hash").aggregate(
+            [("corpus_n", "sum"), ("new_n", "sum")]
+        )
+        return g.rename_columns(
+            [c[: -len("_sum")] if c.endswith("_sum") else c for c in g.column_names]
+        )
+
+    agg = (
+        ds4.map_batches(prep, batch_format="pyarrow")
+        .groupby("text_hash")
+        .aggregate(
+            _Sum("corpus_n", alias_name="corpus_n"),
+            _Sum("new_n", alias_name="new_n"),
+        )
+    )
+    kept = agg.map_batches(
+        lambda b: _pa.table(
+            {
+                "kept": _pa.array(
+                    [
+                        _pc.sum(
+                            _pc.multiply(
+                                _pc.cast(_pc.equal(b["corpus_n"], 0), _pa.int64()),
+                                b["new_n"],
+                            )
+                        ).as_py()
+                        or 0
+                    ],
+                    type=_pa.int64(),
+                ),
+                "new": _pa.array(
+                    [_pc.sum(b["new_n"]).as_py() or 0], type=_pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    n_kept, n_new = int(kept["kept"].sum()), int(kept["new"].sum())
+    incremental_sec = _time.time() - t3
+    del ds4, agg
+    gc.collect()
+
     print(
         json.dumps(
             {
@@ -448,6 +534,13 @@ def dedup_bench() -> None:
                 "planted_recall": round(planted_found / max(1, n_planted), 4),
                 "exact_dedup_sec": round(exact_sec, 2),
                 "exact_unique_rows": n_unique,
+                "keep_best_sec": round(keep_best_sec, 2),
+                "keep_best_groups": n_groups,
+                "keep_best_false_merges": n_docs - n_groups,
+                "incremental_sec": round(incremental_sec, 2),
+                "incremental_new": n_new,
+                "incremental_kept": n_kept,
+                "incremental_false_drops": n_new - n_kept,
                 "num_cpus": NUM_CPUS,
             }
         )

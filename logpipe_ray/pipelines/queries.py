@@ -758,85 +758,16 @@ def dedup_exact(sf_dir: str):
 )
 def dedup_keep_best(sf_dir: str):
     """Canonical-content dedup that keeps the BEST copy, not the first:
-    docs grouped by their distinct-word SET (order-, multiplicity- and
-    whitespace-insensitive), the longest copy wins (tie: lowest doc_id)
-    — the "keep the highest-quality duplicate" curation pattern, vs
-    dedup_exact's min-id-wins.
-
-    Distributed shape: per-batch vectorized set fingerprints (one arrow
-    whitespace split + one hash_array over the flat word buffer —
-    batch_shingles with ngram=1 — then a per-row wraparound sum of the
-    DISTINCT word hashes), per-batch partial argmax so ≤ n_groups rows
-    leave any block, ONE keyed shuffle of slim partial rows folds
-    (max n_chars, min doc_id among maxes, count) per fingerprint.
-    The text itself never shuffles."""
-    import numpy as np
-    from ray.data.aggregate import AggregateFn, Sum
-
-    from logpipe_ray.stages.dedup import batch_shingles
+    docs grouped by their distinct-word SET, the longest copy wins
+    (tie: lowest doc_id) — the "keep the highest-quality duplicate"
+    curation pattern, vs dedup_exact's min-id-wins. Thin wrapper over
+    :func:`logpipe_ray.stages.dedup.keep_best_dedup` (the distributed
+    shape is documented there; also benchmarked at 100k docs by
+    ``bench.py --dedup``)."""
+    from logpipe_ray.stages.dedup import keep_best_dedup
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
-    empty = pa.schema(
-        [
-            ("ws_fp", pa.int64()),
-            ("doc_id", pa.int64()),
-            ("n_chars", pa.int64()),
-            ("n_copies", pa.int64()),
-        ]
-    ).empty_table()
-
-    def partials(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return empty
-        off, wh = batch_shingles(b["text"], ngram=1)  # per-row DISTINCT words
-        cs = np.zeros(len(wh) + 1, dtype=np.uint64)
-        np.cumsum(wh, out=cs[1:])
-        fp = ((cs[off[1:]] - cs[off[:-1]]) >> np.uint64(1)).astype(np.int64)
-        from logpipe_ray.stages.smallagg import run_starts
-
-        doc = pc.cast(b["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
-        nc = pc.cast(b["n_chars"], pa.int64()).to_numpy(zero_copy_only=False)
-        order = np.lexsort((doc, -nc, fp))  # fp asc, n_chars desc, doc asc
-        starts = run_starts(fp[order])
-        counts = np.diff(np.concatenate((starts, [len(order)])))
-        best = order[starts]  # first per fp run = (max n_chars, min doc)
-        return pa.table(
-            {
-                "ws_fp": pa.array(fp[best], type=pa.int64()),
-                "doc_id": pa.array(doc[best], type=pa.int64()),
-                "n_chars": pa.array(nc[best], type=pa.int64()),
-                "n_copies": pa.array(counts, type=pa.int64()),
-            }
-        )
-
-    parts = ds.map_batches(partials, batch_format="pyarrow")
-
-    # fold partials: state = (n_chars, -doc_id) lexmax tuple; two
-    # aggregates share the kernel and finalize different components
-    def _acc(a, blk: pa.Table):
-        nc = blk["n_chars"].to_numpy(zero_copy_only=False)
-        did = blk["doc_id"].to_numpy(zero_copy_only=False)
-        i = int(np.lexsort((did, -nc))[0])
-        return max(a, (int(nc[i]), -int(did[i])))
-
-    def _best(name: str, pick):
-        return AggregateFn(
-            init=lambda k: (-(1 << 62), -(1 << 62)),
-            accumulate_block=_acc,
-            merge=lambda a, b: max(a, b),
-            finalize=pick,
-            name=name,
-        )
-
-    agg = parts.groupby("ws_fp").aggregate(
-        _best("doc_id", lambda a: -a[1]),
-        _best("n_chars", lambda a: a[0]),
-        Sum("n_copies", alias_name="n_copies"),
-    )
-    return agg.map_batches(
-        lambda b: b.select(["doc_id", "n_chars", "n_copies"]),
-        batch_format="pyarrow",
-    )
+    return keep_best_dedup(ds, quality_col="n_chars")
 
 
 @query(

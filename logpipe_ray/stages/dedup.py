@@ -116,6 +116,92 @@ def exact_dedup(
     )
 
 
+def keep_best_dedup(
+    ds,
+    *,
+    text_col: str = "text",
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+):
+    """Canonical-content dedup keeping the BEST copy, not the first:
+    rows grouped by their distinct-word SET (order-, multiplicity- and
+    whitespace-insensitive fingerprint); the max-``quality_col`` copy
+    wins, ties broken by min ``id_col``. Returns one row per group:
+    (id_col, quality_col, n_copies), all int64.
+
+    Shape: per-batch vectorized set fingerprints (one arrow whitespace
+    split + one hash_array over the flat word buffer — batch_shingles
+    with ngram=1 — then a per-row wraparound sum of the DISTINCT word
+    hashes), per-batch partial argmax so ≤ n_groups rows leave any
+    block, ONE keyed shuffle of slim partial rows folds
+    (max quality, min id among maxes, count) per fingerprint. The text
+    itself never shuffles."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import AggregateFn, Sum
+
+    from logpipe_ray.stages.smallagg import run_starts
+
+    empty = pa.schema(
+        [
+            ("ws_fp", pa.int64()),
+            (id_col, pa.int64()),
+            (quality_col, pa.int64()),
+            ("n_copies", pa.int64()),
+        ]
+    ).empty_table()
+
+    def partials(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        off, wh = batch_shingles(b[text_col], ngram=1)  # per-row DISTINCT words
+        cs = np.zeros(len(wh) + 1, dtype=np.uint64)
+        np.cumsum(wh, out=cs[1:])
+        fp = ((cs[off[1:]] - cs[off[:-1]]) >> np.uint64(1)).astype(np.int64)
+        doc = pc.cast(b[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        q = pc.cast(b[quality_col], pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, -q, fp))  # fp asc, quality desc, id asc
+        starts = run_starts(fp[order])
+        counts = np.diff(np.concatenate((starts, [len(order)])))
+        best = order[starts]  # first per fp run = (max quality, min id)
+        return pa.table(
+            {
+                "ws_fp": pa.array(fp[best], type=pa.int64()),
+                id_col: pa.array(doc[best], type=pa.int64()),
+                quality_col: pa.array(q[best], type=pa.int64()),
+                "n_copies": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partials, batch_format="pyarrow")
+
+    # fold partials: state = (quality, -id) lexmax tuple; two aggregates
+    # share the kernel and finalize different components
+    def _acc(a, blk: pa.Table):
+        q = blk[quality_col].to_numpy(zero_copy_only=False)
+        did = blk[id_col].to_numpy(zero_copy_only=False)
+        i = int(np.lexsort((did, -q))[0])
+        return max(a, (int(q[i]), -int(did[i])))
+
+    def _best(name: str, pick):
+        return AggregateFn(
+            init=lambda k: (-(1 << 62), -(1 << 62)),
+            accumulate_block=_acc,
+            merge=lambda a, b: max(a, b),
+            finalize=pick,
+            name=name,
+        )
+
+    agg = parts.groupby("ws_fp").aggregate(
+        _best(id_col, lambda a: -a[1]),
+        _best(quality_col, lambda a: a[0]),
+        Sum("n_copies", alias_name="n_copies"),
+    )
+    return agg.map_batches(
+        lambda b: b.select([id_col, quality_col, "n_copies"]),
+        batch_format="pyarrow",
+    )
+
+
 # --- vectorized shingle hashing --------------------------------------------
 #
 # Shingle hashes are pure IDENTITIES: every consumer (minhash, LSH

@@ -107,3 +107,32 @@ def test_map_groups_typed_pre_blocks_whole_groups(ray_session):
     exp_counts = tbl.to_pandas().groupby("k").size()
     for k, n in zip(got["k"], got["n"]):
         assert n == exp_counts[k]
+
+
+class TestRunHelpers:
+    def test_run_starts_and_ranks(self):
+        import numpy as np
+
+        from logpipe_ray.stages.smallagg import run_ranks, run_starts
+
+        keys = np.array([1, 1, 1, 4, 4, 9])
+        assert run_starts(keys).tolist() == [0, 3, 5]
+        assert run_ranks(keys).tolist() == [0, 1, 2, 0, 1, 0]
+
+    def test_run_helpers_single_and_empty(self):
+        import numpy as np
+
+        from logpipe_ray.stages.smallagg import run_ranks, run_starts
+
+        assert run_starts(np.array([], dtype=np.int64)).tolist() == []
+        assert run_ranks(np.array([], dtype=np.int64)).tolist() == []
+        assert run_starts(np.array([7])).tolist() == [0]
+        assert run_ranks(np.array([7])).tolist() == [0]
+
+    def test_run_helpers_string_keys(self):
+        import numpy as np
+
+        from logpipe_ray.stages.smallagg import run_ranks
+
+        keys = np.array(["a", "a", "b", "b", "b", "c"], dtype=object)
+        assert run_ranks(keys).tolist() == [0, 1, 0, 1, 2, 0]
