@@ -434,6 +434,9 @@ def entry() -> Any:
 # queries green in both prior rounds take the tail.
 _DRIVER_PRIORITY = [
     # new / fixed / changed this round
+    "text_redact",
+    "join_outer",
+    "events_rollup",
     "decontaminate_ngram",
     "source_cap",
     "dedup_incremental",

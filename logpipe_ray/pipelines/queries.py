@@ -2142,3 +2142,203 @@ def pushdown_filter(sf_dir: str):
             "sum_qty": pa.array([agg["sum(qty)"]], type=pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction / outer join / rollup (round 3 additions)
+# ---------------------------------------------------------------------------
+
+# The synthetic corpus contains no real PII, so the oracled query adds one
+# corpus-hitting word alternative to the generic PII pattern — the
+# replacement path is exercised on every batch, not just the count==0 path.
+_REDACT_PATTERN = (
+    r"[\w.+-]+@[\w-]+\.\w+"
+    r"|\b(?:\d{1,3}\.){3}\d{1,3}\b"
+    r"|\b\d{3}[- ]\d{2}[- ]\d{4}\b"
+    r"|\bcustomer\b"
+)
+
+
+@query(
+    "text_redact",
+    f"""SELECT doc_id,
+              regexp_replace(text, '{_REDACT_PATTERN}', '<PII>', 'g') AS text,
+              CAST(length(regexp_extract_all(text, '{_REDACT_PATTERN}')) AS BIGINT)
+                AS n_redactions
+       FROM documents""",
+)
+def text_redact(sf_dir: str):
+    """PII scrubbing over the corpus: replace every email/IPv4/SSN-shaped
+    (plus one corpus-hitting word, see _REDACT_PATTERN) match with a
+    placeholder and count redactions per doc. Pure vectorized map — two
+    RE2 Arrow kernels per batch, zero shuffle; both engines run the SAME
+    RE2 pattern string (pyarrow and DuckDB embed RE2), so replacement
+    semantics are oracle-identical."""
+    from logpipe_ray.stages.text_analysis import redact_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return _i64(redact_batch(b, pattern=_REDACT_PATTERN), ["doc_id"])
+
+    return ds.map_batches(prep, batch_format="pyarrow")
+
+
+@query(
+    "join_outer",
+    """WITH c AS (SELECT c_custkey AS custkey, c_name FROM customer
+                  WHERE c_acctbal < 0),
+            o AS (SELECT o_custkey AS custkey,
+                         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+                              AS BIGINT) AS total_cents
+                  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1)
+       SELECT COALESCE(c.custkey, o.custkey) AS custkey,
+              COALESCE(c.c_name, '') AS c_name,
+              COALESCE(o.total_cents, CAST(-1 AS BIGINT)) AS total_cents
+       FROM c FULL OUTER JOIN o ON c.custkey = o.custkey""",
+)
+def join_outer(sf_dir: str):
+    """Full outer join: negative-balance customers × per-customer totals
+    of 'F'-status orders — each side holds keys the other lacks, so both
+    null directions are exercised and then COALESCE-filled ('' / -1) to
+    hash-match the SQL.
+
+    Distributed shape: aggregate-before-join (per-batch pyarrow group_by
+    partials, folded once — custkey is dimension-sized at these scales;
+    fold_partials avoids empty reduce partitions feeding the join, and
+    grows to a two-level tree if cardinality does), then a
+    hash-partitioned full_outer Dataset.join with the partition count
+    bounded by the small side's row count (stages/joins.py policy)."""
+    from logpipe_ray.stages.joins import hash_join
+    from logpipe_ray.stages.smallagg import fold_partials
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+
+    def cust_prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b["c_acctbal"], 0.0))
+        return pa.table(
+            {
+                "custkey": pc.cast(b["c_custkey"], pa.int64()),
+                "c_name": b["c_name"],
+            }
+        )
+
+    left = cust.map_batches(cust_prep, batch_format="pyarrow")
+
+    orders = _read(
+        sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderstatus"]
+    )
+
+    def ord_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["o_orderstatus"], "F"))
+        t = pa.table(
+            {
+                "custkey": pc.cast(b["o_custkey"], pa.int64()),
+                "total_cents": _cents(b["o_totalprice"]),
+            }
+        )
+        if t.num_rows == 0:
+            return t
+        g = t.group_by(["custkey"]).aggregate([("total_cents", "sum")])
+        g = g.rename_columns(
+            [c[: -len("_sum")] if c.endswith("_sum") else c for c in g.column_names]
+        )
+        return g.select(["custkey", "total_cents"])
+
+    totals = fold_partials(
+        orders.map_batches(ord_partial, batch_format="pyarrow"),
+        "custkey",
+        "total_cents",
+    )
+
+    n_left = left.count()
+    joined = hash_join(
+        left,
+        totals,
+        on="custkey",
+        join_type="full_outer",
+        small_rows=max(n_left, 1),
+    )
+
+    def fill(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "custkey": pc.cast(b["custkey"], pa.int64()),
+                "c_name": pc.fill_null(b["c_name"], ""),
+                "total_cents": pc.fill_null(
+                    pc.cast(b["total_cents"], pa.int64()), -1
+                ),
+            }
+        )
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
+@query(
+    "events_rollup",
+    """SELECT COALESCE(event_type, 'ALL') AS event_type,
+              count(*) AS n_events,
+              CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                AS sum_value_cents
+       FROM events GROUP BY ROLLUP(event_type)""",
+)
+def events_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(event_type): per-type aggregates plus the grand
+    total, from ONE corpus pass — per-batch group_by partials (at most
+    |types| rows leave any block), folded without a keyed shuffle
+    (bounded cardinality), total row derived from the per-type table
+    (result-sized) rather than a second scan."""
+    from logpipe_ray.stages.smallagg import fold_partials
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": b["event_type"],
+                "sum_value_cents": _cents(b["value"]),
+            }
+        )
+        g = t.group_by(["event_type"]).aggregate(
+            [("sum_value_cents", "sum"), ([], "count_all")]
+        )
+        names = []
+        for c in g.column_names:
+            if c == "sum_value_cents_sum":
+                names.append("sum_value_cents")
+            elif c == "count_all":
+                names.append("n_events")
+            else:
+                names.append(c)
+        g = g.rename_columns(names)
+        return g.select(["event_type", "n_events", "sum_value_cents"]).cast(
+            pa.schema(
+                [
+                    ("event_type", pa.string()),
+                    ("n_events", pa.int64()),
+                    ("sum_value_cents", pa.int64()),
+                ]
+            )
+        )
+
+    folded = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "event_type",
+        ["n_events", "sum_value_cents"],
+    )
+
+    def add_total(b: pa.Table) -> pa.Table:
+        total = pa.table(
+            {
+                "event_type": pa.array(["ALL"]),
+                "n_events": pa.array(
+                    [pc.sum(b["n_events"]).as_py() or 0], type=pa.int64()
+                ),
+                "sum_value_cents": pa.array(
+                    [pc.sum(b["sum_value_cents"]).as_py() or 0], type=pa.int64()
+                ),
+            }
+        )
+        return pa.concat_tables([b.cast(total.schema), total])
+
+    return folded.map_batches(add_total, batch_format="pyarrow", batch_size=None)

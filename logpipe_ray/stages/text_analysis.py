@@ -259,3 +259,38 @@ def fingerprint_batch(
         for s in col.to_pylist()
     ]
     return batch.append_column(out_col, pa.array(out, type=pa.int64()))
+
+
+# --- PII / pattern redaction ------------------------------------------------
+
+# Generic PII-shaped defaults: email, IPv4, SSN-style digit groups.
+# RE2 syntax on purpose — pyarrow.compute and DuckDB both embed RE2, so
+# the same pattern string is oracle-reproducible in SQL.
+PII_PATTERN = (
+    r"[\w.+-]+@[\w-]+\.\w+"
+    r"|\b(?:\d{1,3}\.){3}\d{1,3}\b"
+    r"|\b\d{3}[- ]\d{2}[- ]\d{4}\b"
+)
+
+
+def redact_batch(
+    batch: pa.Table,
+    *,
+    pattern: str = PII_PATTERN,
+    replacement: str = "<PII>",
+    text_col: str = "text",
+    count_col: str = "n_redactions",
+) -> pa.Table:
+    """Redact every match of ``pattern`` (PII scrubbing at corpus scale:
+    logpipe's grep/tr field rewriting generalized to arbitrary RE2 —
+    reference src-plugins/logpipe-output-es.c field transforms).
+    Fully vectorized: one ``replace_substring_regex`` + one
+    ``count_substring_regex`` Arrow kernel pass per batch, no Python
+    per row, no shuffle — the ideal 100 TB shape (pure map)."""
+    col = batch[text_col]
+    red = pc.replace_substring_regex(col, pattern=pattern, replacement=replacement)
+    n = pc.cast(pc.count_substring_regex(col, pattern), pa.int64())
+    batch = batch.set_column(
+        batch.schema.get_field_index(text_col), text_col, red
+    )
+    return batch.append_column(count_col, n)
