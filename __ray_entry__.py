@@ -435,6 +435,7 @@ def entry() -> Any:
 _DRIVER_PRIORITY = [
     # new / fixed / changed this round
     "text_redact",
+    "doc_rarity",
     "join_outer",
     "events_rollup",
     "decontaminate_ngram",

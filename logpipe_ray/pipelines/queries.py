@@ -2342,3 +2342,103 @@ def events_rollup(sf_dir: str):
         return pa.concat_tables([b.cast(total.schema), total])
 
     return folded.map_batches(add_total, batch_format="pyarrow", batch_size=None)
+
+
+@query(
+    "doc_rarity",
+    r"""WITH w AS (
+         SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word
+         FROM documents
+       ), f AS (
+         SELECT word, count(*) AS cnt FROM w GROUP BY 1
+       ), s AS (
+         SELECT CAST(sum(cnt) AS BIGINT) AS total,
+                count(*) AS vocab FROM f
+       )
+       SELECT w.doc_id,
+              count(*) AS n_words,
+              CAST(sum(f.cnt) AS BIGINT) AS sum_freq,
+              CAST(sum(CASE WHEN f.cnt * (SELECT vocab FROM s)
+                                 <= (SELECT total FROM s)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+       FROM w JOIN f USING (word) GROUP BY 1""",
+)
+def doc_rarity(sf_dir: str):
+    """Corpus-frequency rarity scoring (the CCNet/importance-filter
+    pattern in exact-integer form): per doc, the sum of each word's
+    corpus frequency and the count of below-mean-frequency words —
+    rarity signals for quality filtering without a float LM in the
+    hash-compared path.
+
+    Distributed shape: pass 1 builds the word-frequency table from
+    per-batch ``np.unique`` partials folded once (vocab-bounded — at
+    real-corpus vocab sizes raise the fold to a two-level tree or a
+    keyed groupby); the vocab table is broadcast once via ``ray.put``;
+    pass 2 streams the corpus through one map_batches scoring every
+    word with a vectorized searchsorted — corpus text never shuffles,
+    no join touches the corpus."""
+    import numpy as np
+
+    import ray as _ray
+
+    from logpipe_ray.stages.dedup import batch_words
+    from logpipe_ray.stages.smallagg import fold_partials
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        _, flat = batch_words(b["text"])
+        if len(flat) == 0:  # typed empty — never a null-typed column
+            return pa.table(
+                {
+                    "word": pa.array([], type=pa.string()),
+                    "cnt": pa.array([], type=pa.int64()),
+                }
+            )
+        w, c = np.unique(flat, return_counts=True)
+        return pa.table(
+            {"word": pa.array(w, type=pa.string()), "cnt": pa.array(c, type=pa.int64())}
+        )
+
+    vocab_tbl = pa.concat_tables(
+        fold_partials(
+            ds.map_batches(count_partial, batch_format="pyarrow"),
+            "word",
+            "cnt",
+        ).iter_batches(batch_format="pyarrow")
+    )
+    words = np.asarray(vocab_tbl["word"].to_numpy(zero_copy_only=False))
+    cnts = vocab_tbl["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(words)
+    words, cnts = words[order], cnts[order]
+    total, vocab = int(cnts.sum()), len(words)
+    vocab_ref = _ray.put((words, cnts))
+
+    def score(b: pa.Table) -> pa.Table:
+        vw, vc = _ray.get(vocab_ref)
+        off, flat = batch_words(b["text"])
+        idx = np.searchsorted(vw, flat)
+        wc = vc[idx]
+        rare = (wc * vocab) <= total
+        cs_f = np.zeros(len(flat) + 1, dtype=np.int64)
+        np.cumsum(wc, out=cs_f[1:])
+        cs_r = np.zeros(len(flat) + 1, dtype=np.int64)
+        np.cumsum(rare, out=cs_r[1:])
+        n_words = np.diff(off)
+        keep = n_words > 0  # zero-word docs have no oracle row
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()).filter(
+                    pa.array(keep)
+                ),
+                "n_words": pa.array(n_words[keep], type=pa.int64()),
+                "sum_freq": pa.array(
+                    (cs_f[off[1:]] - cs_f[off[:-1]])[keep], type=pa.int64()
+                ),
+                "n_rare": pa.array(
+                    (cs_r[off[1:]] - cs_r[off[:-1]])[keep], type=pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -251,15 +251,12 @@ def _ngram_combine(wh: np.ndarray, n: int) -> np.ndarray:
     return _fmix64(h)
 
 
-def batch_shingles(
-    texts, *, ngram: int = 3
-) -> tuple[np.ndarray, np.ndarray]:
-    """Per-row DISTINCT word-n-gram shingle hash sets for a whole batch:
-    one arrow whitespace split, one ``hash_array`` over the flat word
-    buffer, vectorized n-gram combine, per-row dedupe via lexsort.
-    Returns ``(offsets, hashes)`` with each row's hash run sorted
-    ascending; rows with fewer than ``ngram`` words are empty (the SQL
-    oracle's trigram semantics — see :func:`word_shingles`)."""
+def batch_words(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Whitespace-tokenize a whole batch: one arrow split, flat word
+    array + per-row offsets, with the empty strings arrow emits at
+    string edges dropped (matching python ``str.split()`` and the SQL
+    oracles' ``regexp_extract_all(text, '\\S+')``). Shared kernel for
+    shingling and corpus-frequency scoring."""
     import pyarrow.compute as pc
 
     if isinstance(texts, pa.ChunkedArray):
@@ -271,8 +268,6 @@ def batch_shingles(
     flat = flat[offsets[0] : offsets[-1]]
     offsets = offsets - offsets[0]
     n_rows = len(offsets) - 1
-    # arrow's split emits empty strings at string edges (python
-    # ``str.split()`` and the oracle's regexp '\\S+' drop them)
     seg_w = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(offsets))
     nonempty_w = flat != ""
     if not nonempty_w.all():
@@ -281,6 +276,20 @@ def batch_shingles(
         counts_w = np.bincount(seg_w, minlength=n_rows)
         offsets = np.zeros(n_rows + 1, dtype=np.int64)
         np.cumsum(counts_w, out=offsets[1:])
+    return offsets, flat
+
+
+def batch_shingles(
+    texts, *, ngram: int = 3
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row DISTINCT word-n-gram shingle hash sets for a whole batch:
+    one arrow whitespace split, one ``hash_array`` over the flat word
+    buffer, vectorized n-gram combine, per-row dedupe via lexsort.
+    Returns ``(offsets, hashes)`` with each row's hash run sorted
+    ascending; rows with fewer than ``ngram`` words are empty (the SQL
+    oracle's trigram semantics — see :func:`word_shingles`)."""
+    offsets, flat = batch_words(texts)
+    n_rows = len(offsets) - 1
     lens = np.diff(offsets)
     n_sh = np.maximum(lens - ngram + 1, 0)
     tot = int(n_sh.sum())
