@@ -436,6 +436,8 @@ _DRIVER_PRIORITY = [
     # new / fixed / changed this round
     "text_redact",
     "doc_rarity",
+    "events_json_extract",
+    "jsonl_source",
     "join_outer",
     "events_rollup",
     "decontaminate_ngram",

@@ -2442,3 +2442,95 @@ def doc_rarity(sf_dir: str):
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+@query(
+    "events_json_extract",
+    """SELECT event_id, event_type,
+              CAST(json_extract(props, '$.k') AS BIGINT) AS k
+       FROM events""",
+)
+def events_json_extract(sf_dir: str):
+    """Structured-field extraction from a JSON string column (the
+    fasterjson/ES field-transform analog): each batch's props column is
+    parsed as ONE newline-delimited buffer by pyarrow's C++ JSON reader
+    — no per-row Python, no shuffle, types pinned by explicit schema."""
+    from logpipe_ray.stages.parse import parse_json_column
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "props"])
+    k_schema = pa.schema([("k", pa.int64())])
+
+    def extract(b: pa.Table) -> pa.Table:
+        parsed = parse_json_column(b["props"], schema=k_schema)
+        return pa.table(
+            {
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "event_type": b["event_type"],
+                "k": parsed["k"],
+            }
+        )
+
+    return ds.map_batches(extract, batch_format="pyarrow")
+
+
+def _jsonl_fixture(sf_dir: str) -> str:
+    """Write events as sharded JSONL files (deterministic: event_id
+    order, 4 shards by event_id range) — the structured-log-directory
+    fixture for the JSONL source."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    d = f"/tmp/lpr_jsonl_{tag}"
+    marker = os.path.join(d, "_SUCCESS")
+    if os.path.exists(marker):
+        return d
+    os.makedirs(d, exist_ok=True)
+    t = (
+        pq.read_table(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "event_type", "value"],
+        ).sort_by("event_id")
+    )
+    rows = t.to_pylist()
+    n_shards = 4
+    per = -(-len(rows) // n_shards)
+    for s in range(n_shards):
+        part = rows[s * per : (s + 1) * per]
+        with open(os.path.join(d, f"events-{s:04d}.jsonl"), "w") as f:
+            for r in part:
+                f.write(json.dumps(r) + "\n")
+    with open(marker, "w") as f:
+        f.write("ok")
+    return d
+
+
+@query(
+    "jsonl_source",
+    """SELECT event_id, user_id, event_type, value FROM events""",
+)
+def jsonl_source(sf_dir: str):
+    """JSONL directory source: ``ray.data.read_json`` over sharded
+    newline-delimited JSON (one read task per shard — the same
+    file-parallel shape as the text/log source), column-projected to
+    the contract schema. Values round-trip exactly: json.dumps emits
+    shortest-repr doubles, and both readers parse to the same IEEE
+    double."""
+    d = _jsonl_fixture(sf_dir)
+    # explicit extension filter: the fixture's _SUCCESS marker must not
+    # be parsed as JSON
+    ds = ray.data.read_json(f"{d}/", file_extensions=["jsonl"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "event_type": b["event_type"],
+                "value": pc.cast(b["value"], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(prep, batch_format="pyarrow")
