@@ -438,6 +438,8 @@ _DRIVER_PRIORITY = [
     "doc_rarity",
     "events_json_extract",
     "jsonl_source",
+    "source_mix",
+    "events_approx_quantile",
     "join_outer",
     "events_rollup",
     "decontaminate_ngram",

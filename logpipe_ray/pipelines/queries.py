@@ -2534,3 +2534,147 @@ def jsonl_source(sf_dir: str):
         )
 
     return ds.map_batches(prep, batch_format="pyarrow")
+
+
+@query(
+    "source_mix",
+    """WITH q AS (
+         SELECT source, CAST(floor(sqrt(count(*))) AS BIGINT) AS quota
+         FROM documents GROUP BY 1
+       ), r AS (
+         SELECT doc_id, source,
+                row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+         FROM documents
+       )
+       SELECT r.doc_id, r.source FROM r JOIN q USING (source)
+       WHERE r.rn <= q.quota""",
+)
+def source_mix(sf_dir: str):
+    """Temperature-based source mixing (α = 0.5): each source's quota is
+    ⌊√count⌋ — over-represented domains are flattened toward the mix
+    (the pretraining data-mixing pattern), deterministic first-by-doc_id
+    within each source. Integer isqrt on both sides keeps the quota
+    hash-exact.
+
+    Distributed shape: pass 1 folds per-batch source counts (sources
+    dimension-bounded) to a broadcast quota map; pass 2 is the
+    source_cap kernel with per-source quotas — per-batch vectorized
+    partial cap (≤ Σquota rows leave any block), same kernel folds the
+    partials once. The corpus never globally sorts or shuffles."""
+    import math
+
+    import numpy as np
+
+    import ray as _ray
+
+    from logpipe_ray.stages.smallagg import count_partials, fold_partials, run_ranks
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    counts = pa.concat_tables(
+        fold_partials(
+            count_partials(ds, "source"), "source", "n"
+        ).iter_batches(batch_format="pyarrow")
+    )
+    srcs = np.asarray(counts["source"].to_numpy(zero_copy_only=False))
+    quota = np.array(
+        [math.isqrt(int(n)) for n in counts["n"].to_pylist()], dtype=np.int64
+    )
+    order = np.argsort(srcs)
+    srcs, quota = srcs[order], quota[order]
+    quota_ref = _ray.put((srcs, quota))
+
+    schema = pa.schema([("doc_id", pa.int64()), ("source", pa.string())])
+
+    def cap_by_quota(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return schema.empty_table()
+        qs, qv = _ray.get(quota_ref)
+        src = b["source"].combine_chunks().to_numpy(zero_copy_only=False)
+        doc = pc.cast(b["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, src))
+        ranks = run_ranks(src[order])
+        row_quota = qv[np.searchsorted(qs, src[order])]
+        keep = order[ranks < row_quota]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[keep], type=pa.int64()),
+                "source": pa.array(src[keep], type=pa.string()),
+            }
+        )
+
+    partials = ds.map_batches(cap_by_quota, batch_format="pyarrow")
+    return partials.repartition(1).map_batches(
+        cap_by_quota, batch_format="pyarrow", batch_size=None
+    )
+
+
+@query(
+    "events_approx_quantile",
+    """WITH b AS (
+         SELECT CAST(round(value*100) AS BIGINT) // 50 AS bucket FROM events
+       ), c AS (
+         SELECT bucket, count(*) AS n FROM b GROUP BY 1
+       ), t AS (
+         SELECT CAST(sum(n) AS BIGINT) AS total FROM c
+       ), cum AS (
+         SELECT bucket, CAST(sum(n) OVER (ORDER BY bucket) AS BIGINT) AS cum
+         FROM c
+       ), ps(p_bp) AS (VALUES (5000), (9000), (9900))
+       SELECT CAST(p_bp AS BIGINT) AS p_bp,
+              CAST(min(bucket) AS BIGINT) AS bucket,
+              CAST(min(bucket) * 50 AS BIGINT) AS lo_cents
+       FROM ps, cum, t WHERE cum * 10000 >= total * p_bp GROUP BY 1""",
+)
+def events_approx_quantile(sf_dir: str):
+    """Approximate quantiles (p50/p90/p99) via a deterministic mergeable
+    histogram sketch: values bucketed to fixed 0.50-wide cells (integer
+    cents // 50), per-batch bucket-count partials merged by addition —
+    the classic bounded-error quantile sketch, but with integer bucket
+    math so the SAME sketch is expressible in SQL and the result is
+    hash-exact (error ≤ bucket width, the stated contract of the op).
+
+    Distributed shape: ≤ |buckets| rows leave any block (value range /
+    0.50 — bounded by data range, not corpus size), one fold, quantile
+    scan over the single folded block. At 100 TB the sketch is still
+    KBs; merging is associative so a two-level fold tree drops in."""
+    import numpy as np
+
+    from logpipe_ray.stages.smallagg import count_partials, fold_partials
+
+    ds = _read(sf_dir, "events", ["value"])
+
+    def to_bucket(b: pa.Table) -> pa.Table:
+        return pa.table({"bucket": pc.divide(_cents(b["value"]), 50)})
+
+    folded = fold_partials(
+        count_partials(
+            ds.map_batches(to_bucket, batch_format="pyarrow"), "bucket"
+        ),
+        "bucket",
+        "n",
+    )
+
+    def quantiles(b: pa.Table) -> pa.Table:
+        bk = b["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(bk)
+        bk, n = bk[order], n[order]
+        cum = np.cumsum(n)
+        total = int(cum[-1]) if len(cum) else 0
+        rows = []
+        for p_bp in (5000, 9000, 9900):
+            # smallest bucket with cum*10000 >= total*p_bp (exact rank)
+            i = int(np.searchsorted(cum * 10000, total * p_bp))
+            rows.append((p_bp, int(bk[i]), int(bk[i]) * 50))
+        return pa.table(
+            {
+                "p_bp": pa.array([r[0] for r in rows], type=pa.int64()),
+                "bucket": pa.array([r[1] for r in rows], type=pa.int64()),
+                "lo_cents": pa.array([r[2] for r in rows], type=pa.int64()),
+            }
+        )
+
+    return folded.map_batches(
+        quantiles, batch_format="pyarrow", batch_size=None
+    )
