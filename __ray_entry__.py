@@ -434,6 +434,9 @@ def entry() -> Any:
 # queries green in both prior rounds take the tail.
 _DRIVER_PRIORITY = [
     # new / fixed / changed this round
+    "orders_global_rank",
+    "docs_stratified_split",
+    "docs_curriculum",
     "text_redact",
     "doc_rarity",
     "events_json_extract",

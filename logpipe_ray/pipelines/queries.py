@@ -2678,3 +2678,155 @@ def events_approx_quantile(sf_dir: str):
     return folded.map_batches(
         quantiles, batch_format="pyarrow", batch_size=None
     )
+
+
+@query(
+    "orders_global_rank",
+    """SELECT o_orderkey,
+              CAST(round(o_totalprice*100) AS BIGINT) AS price_cents,
+              CAST(row_number() OVER (
+                ORDER BY CAST(round(o_totalprice*100) AS BIGINT), o_orderkey
+              ) AS BIGINT) AS rnk
+       FROM orders""",
+)
+def orders_global_rank(sf_dir: str):
+    """Corpus-wide ``row_number()`` (rank every order by price): the
+    distributed two-level prefix-sum rank of
+    :func:`logpipe_ray.stages.rank.global_rank` — per-batch bucket
+    histogram partials folded once, exclusive bucket offsets broadcast,
+    ONE bucket-keyed shuffle where each bucket sorts locally and adds
+    its offset. No full-corpus driver sort; the driver holds only the
+    buckets-row offsets table."""
+    from logpipe_ray.stages.rank import global_rank
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                "price_cents": _cents(b["o_totalprice"]),
+            }
+        )
+
+    return global_rank(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key_col="price_cents",
+        id_col="o_orderkey",
+        bucket_width=1 << 21,  # ~$21k-wide ordered price ranges
+        rank_col="rnk",
+    )
+
+
+@query(
+    "docs_stratified_split",
+    """WITH r AS (
+         SELECT doc_id, source,
+                row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+                count(*) OVER (PARTITION BY source) AS n
+         FROM documents
+       )
+       SELECT doc_id, source, CAST(rn AS BIGINT) AS rnk,
+              CASE WHEN rn * 10 <= n + 9 THEN 'val' ELSE 'train' END AS split
+       FROM r""",
+)
+def docs_stratified_split(sf_dir: str):
+    """Stratified train/val split with EXACT per-source quotas (val =
+    first ⌈10%⌉ of each source by doc_id) — the split you need when
+    hash-splitting would under-sample small domains. Per-source rank
+    from the distributed prefix-sum rank stage; quotas from one
+    bounded fold (sources-cardinality rows), broadcast and applied
+    vectorized per batch."""
+    import numpy as np
+
+    import ray as _ray
+
+    from logpipe_ray.stages.rank import global_rank
+    from logpipe_ray.stages.smallagg import count_partials, fold_partials
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    totals = pa.concat_tables(
+        fold_partials(
+            count_partials(ds, "source"), "source", "n"
+        ).iter_batches(batch_format="pyarrow")
+    )
+    srcs = np.asarray(totals["source"].to_numpy(zero_copy_only=False))
+    quota = (totals["n"].to_numpy(zero_copy_only=False) + 9) // 10  # ceil(n/10)
+    order = np.argsort(srcs)
+    quota_ref = _ray.put((srcs[order], quota[order]))
+
+    ranked = global_rank(
+        ds,
+        key_col="doc_id",
+        id_col="doc_id",
+        bucket_width=1 << 16,
+        group_col="source",
+        rank_col="rnk",
+    )
+
+    def label(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("source", pa.string()),
+                    ("rnk", pa.int64()),
+                    ("split", pa.string()),
+                ]
+            ).empty_table()
+        qs, qv = _ray.get(quota_ref)
+        src = b["source"].combine_chunks().to_numpy(zero_copy_only=False)
+        rnk = b["rnk"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_val = rnk <= qv[np.searchsorted(qs, src)]
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "source": b["source"],
+                "rnk": pc.cast(b["rnk"], pa.int64()),
+                "split": pa.array(
+                    np.where(is_val, "val", "train"), type=pa.string()
+                ),
+            }
+        )
+
+    return ranked.map_batches(label, batch_format="pyarrow")
+
+
+@query(
+    "docs_curriculum",
+    """SELECT doc_id, n_chars,
+              CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+                AS rnk,
+              CAST((row_number() OVER (ORDER BY n_chars, doc_id) - 1) // 64
+                AS BIGINT) AS stage
+       FROM documents""",
+)
+def docs_curriculum(sf_dir: str):
+    """Curriculum ordering: rank the corpus short→long (n_chars, then
+    doc_id) and cut it into fixed-size training stages — the
+    length-curriculum pre-sort of a staged pretraining run, as a rank
+    + vectorized stage assignment (one bucket shuffle, no driver
+    sort)."""
+    from logpipe_ray.stages.rank import global_rank
+
+    ranked = global_rank(
+        _read(sf_dir, "documents", ["doc_id", "n_chars"]),
+        key_col="n_chars",
+        id_col="doc_id",
+        bucket_width=256,
+        rank_col="rnk",
+    )
+
+    def stage(b: pa.Table) -> pa.Table:
+        rnk = pc.cast(b["rnk"], pa.int64())
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "n_chars": pc.cast(b["n_chars"], pa.int64()),
+                "rnk": rnk,
+                "stage": pc.divide(pc.subtract(rnk, 1), 64),
+            }
+        )
+
+    return ranked.map_batches(stage, batch_format="pyarrow")
