@@ -434,6 +434,7 @@ def entry() -> Any:
 # queries green in both prior rounds take the tail.
 _DRIVER_PRIORITY = [
     # new / fixed / changed this round
+    "dedup_substr",
     "orders_global_rank",
     "docs_stratified_split",
     "docs_curriculum",

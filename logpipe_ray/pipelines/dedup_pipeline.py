@@ -509,3 +509,190 @@ def near_dup_clusters(
             "cluster_rep": pa.array([r[1] for r in rows], type=pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr-style duplicated-span removal (Lee et al. 2021,
+# "Deduplicating Training Data Makes Language Models Better",
+# arXiv:2107.06499 — suffix-array exact-substring dedup restated as a
+# k-gram-granular Ray Data pipeline)
+# ---------------------------------------------------------------------------
+
+
+def remove_duplicate_spans(
+    ds: ray.data.Dataset,
+    *,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Cross-document duplicated-span removal at word-``k``-gram
+    granularity: every k-gram occurrence that is NOT the corpus-wide
+    first occurrence (ordered by (doc_id, position)) is a duplicate
+    span; a word is removed iff some duplicate span covers it. Output:
+    (doc_id, text_clean, n_kept) — docs whose every word is covered
+    drop out entirely.
+
+    Scale shape:
+
+    1. explode — per-batch vectorized (one arrow split, one
+       ``pd.util.hash_array``, Horner k-gram combine): only
+       (gram_hash, doc_id, pos) int64 triples leave the map side; the
+       text never shuffles here. Corpus-token-proportional, the same
+       volume class as the suffix-array input of the reference method.
+    2. ONE ``sort(gram)`` co-locates each gram's occurrences (Ray's
+       map_groups sort invariant: a key's rows never span blocks);
+       an in-block lexsort orders each run by (doc_id, pos) and a
+       vectorized not-first-in-run mask emits the duplicate positions.
+       A pathologically hot gram (boilerplate at web scale) skews its
+       one partition — production ExactSubstr runs cap per-gram
+       occurrence counts first; at this corpus' cardinality it's moot.
+    3. duplicate (doc_id, pos) rows — DUP-PROPORTIONAL, not
+       corpus-proportional — group per doc into a packed span-start
+       string (list payloads don't survive pyarrow hash joins).
+    4. one partition-bounded left-outer hash join docs ⋈ span-lists
+       (the single text exchange), then a per-batch cut: clean docs
+       pass through vectorized; only docs WITH removals pay a Python
+       splice.
+    """
+    import pandas as pd
+
+    from logpipe_ray.stages.dedup import _ngram_combine, batch_words, hash_words
+    from logpipe_ray.stages.joins import hash_join
+    from logpipe_ray.stages.smallagg import map_groups_typed
+
+    def explode(b: pa.Table) -> pa.Table:
+        offsets, flat = batch_words(b[text_col])
+        lens = np.diff(offsets)
+        gh_flat = _ngram_combine(hash_words(flat), k)
+        n_g = np.maximum(lens - k + 1, 0)
+        total = int(n_g.sum())
+        goff = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(n_g, out=goff[1:])
+        in_row = np.arange(total, dtype=np.int64) - np.repeat(goff[:-1], n_g)
+        flat_pos = in_row + np.repeat(offsets[:-1], n_g)
+        row_rep = np.repeat(np.arange(len(lens), dtype=np.int64), n_g)
+        doc = pc.cast(b[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "gram": pa.array(
+                    (gh_flat[flat_pos] >> np.uint64(1)).astype(np.int64)
+                ),
+                "doc_id": pa.array(doc[row_rep], type=pa.int64()),
+                "pos": pa.array(in_row, type=pa.int64()),
+            }
+        )
+
+    gram_rows = ds.map_batches(explode, batch_format="pyarrow")
+
+    dup_schema = pa.schema([("doc_id", pa.int64()), ("pos", pa.int64())])
+
+    def dup_positions(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return dup_schema.empty_table()
+        g = block["gram"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = block["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        p = block["pos"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, d, g))
+        g, d, p = g[order], d[order], p[order]
+        dup = np.zeros(len(g), dtype=bool)
+        dup[1:] = g[1:] == g[:-1]
+        return pa.table(
+            {
+                "doc_id": pa.array(d[dup], type=pa.int64()),
+                "pos": pa.array(p[dup], type=pa.int64()),
+            }
+        )
+
+    dups = gram_rows.sort("gram").map_batches(
+        dup_positions, batch_format="pyarrow", batch_size=None
+    )
+
+    span_schema = pa.schema([("doc_id", pa.int64()), ("starts_csv", pa.string())])
+
+    def to_span_list(g: pa.Table) -> pa.Table:
+        pos = sorted(g["pos"].to_pylist())
+        return pa.table(
+            {
+                "doc_id": pa.array([g["doc_id"][0].as_py()], type=pa.int64()),
+                "starts_csv": pa.array(
+                    [",".join(map(str, pos))], type=pa.string()
+                ),
+            }
+        )
+
+    # materialize: dup-proportional (one row per doc WITH removals) —
+    # the count bounds the join partitions below so no right-side
+    # partition can be empty-schema-less (the r2 ArrowInvalid class)
+    span_lists = map_groups_typed(
+        dups, "doc_id", to_span_list, span_schema, batch_format="pyarrow"
+    ).materialize()
+    n_span_docs = span_lists.count()
+
+    docs = ds.map_batches(
+        lambda b: pa.table(
+            {"doc_id": pc.cast(b[id_col], pa.int64()), text_col: b[text_col]}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(
+        docs,
+        span_lists,
+        on="doc_id",
+        join_type="left_outer",
+        small_rows=max(1, n_span_docs),
+    )
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text_clean", pa.string()),
+            ("n_kept", pa.int64()),
+        ]
+    )
+
+    def cut(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        offsets, flat = batch_words(b[text_col])
+        lens = np.diff(offsets)
+        clean = pc.is_null(b["starts_csv"]).to_numpy(zero_copy_only=False)
+        # clean docs: fully vectorized pass-through (text unchanged)
+        cmask = clean & (lens > 0)
+        clean_tbl = pa.table(
+            {
+                "doc_id": pc.cast(b[id_col], pa.int64()).filter(
+                    pa.array(cmask)
+                ),
+                "text_clean": b[text_col].filter(pa.array(cmask)),
+                "n_kept": pa.array(lens[cmask], type=pa.int64()),
+            }
+        )
+        # dirty docs: dup-proportional Python splice
+        doc = pc.cast(b[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        starts = b["starts_csv"].to_pylist()
+        out_id, out_text, out_kept = [], [], []
+        for i in np.flatnonzero(~clean):
+            words = flat[offsets[i] : offsets[i + 1]]
+            keep = np.ones(len(words), dtype=bool)
+            for s in starts[i].split(","):
+                si = int(s)
+                keep[si : si + k] = False
+            kept = words[keep]
+            if len(kept) == 0:
+                continue
+            out_id.append(int(doc[i]))
+            out_text.append(" ".join(kept))
+            out_kept.append(int(len(kept)))
+        dirty_tbl = pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "text_clean": pa.array(out_text, type=pa.string()),
+                "n_kept": pa.array(out_kept, type=pa.int64()),
+            }
+        )
+        return pa.concat_tables(
+            [clean_tbl.cast(out_schema), dirty_tbl.cast(out_schema)]
+        )
+
+    return joined.map_batches(cut, batch_format="pyarrow")

@@ -2830,3 +2830,49 @@ def docs_curriculum(sf_dir: str):
         )
 
     return ranked.map_batches(stage, batch_format="pyarrow")
+
+
+@query(
+    "dedup_substr",
+    r"""WITH d AS (
+         SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
+       ), pos AS (
+         SELECT doc_id, ws, CAST(u.i AS BIGINT) AS i
+         FROM d, UNNEST(generate_series(1, len(ws))) AS u(i)
+       ), g AS (
+         SELECT doc_id, i, array_to_string(ws[i:i+4], ' ') AS gram
+         FROM pos WHERE i + 4 <= len(ws)
+       ), r AS (
+         SELECT doc_id, i,
+                row_number() OVER (PARTITION BY gram ORDER BY doc_id, i) AS rn
+         FROM g
+       ), dup AS (
+         SELECT doc_id, i FROM r WHERE rn > 1
+       ), cov AS (
+         SELECT DISTINCT p.doc_id, p.i FROM pos p
+         JOIN dup ON p.doc_id = dup.doc_id AND p.i >= dup.i AND p.i <= dup.i + 4
+       ), kept AS (
+         SELECT p.doc_id, p.i, p.ws[p.i] AS w FROM pos p
+         LEFT JOIN cov ON p.doc_id = cov.doc_id AND p.i = cov.i
+         WHERE cov.doc_id IS NULL
+       )
+       SELECT doc_id,
+              string_agg(w, ' ' ORDER BY i) AS text_clean,
+              CAST(count(*) AS BIGINT) AS n_kept
+       FROM kept GROUP BY doc_id""",
+)
+def dedup_substr(sf_dir: str):
+    """ExactSubstr-style duplicated-span removal (Lee et al. 2021,
+    arXiv:2107.06499) at word-5-gram granularity: every 5-gram
+    occurrence that isn't the corpus-wide first (by doc_id, position)
+    marks its 5 words for removal; surviving words reassemble in
+    order. See
+    :func:`logpipe_ray.pipelines.dedup_pipeline.remove_duplicate_spans`
+    for the distributed shape (one gram-hash sort of int64 triples, a
+    dup-proportional span-list groupby, one partition-bounded text
+    join)."""
+    from logpipe_ray.pipelines.dedup_pipeline import remove_duplicate_spans
+
+    return remove_duplicate_spans(
+        _read(sf_dir, "documents", ["doc_id", "text"]), k=5
+    )

@@ -464,3 +464,36 @@ class TestCosineDedup:
         )
         assert lsh == exact
         assert len(lsh) == n  # exactly the planted partners removed
+
+
+class TestRemoveDuplicateSpans:
+    def test_planted_duplicate_spans(self, ray_session):
+        """ExactSubstr semantics at k=3: an exact-copy doc vanishes, a
+        doc embedding a copied span loses exactly that span, unique
+        docs pass through untouched."""
+        import ray.data
+
+        from logpipe_ray.pipelines.dedup_pipeline import remove_duplicate_spans
+
+        docs = {
+            0: "a b c d e f",            # first occurrence of everything
+            1: "a b c d e f",            # exact copy -> fully covered, drops
+            2: "x y a b c z w",          # gram (a b c) at pos 2 dups doc0 pos0
+            3: "p q r s t",              # unique -> untouched
+        }
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(sorted(docs), type=pa.int64()),
+                "text": pa.array([docs[i] for i in sorted(docs)]),
+            }
+        )
+        out = {
+            r["doc_id"]: (r["text_clean"], r["n_kept"])
+            for r in remove_duplicate_spans(
+                ray.data.from_arrow(tbl), k=3
+            ).take_all()
+        }
+        assert 1 not in out                      # exact copy fully removed
+        assert out[0] == ("a b c d e f", 6)      # first occurrence intact
+        assert out[2] == ("x y z w", 4)          # copied span cut out
+        assert out[3] == ("p q r s t", 5)        # unique untouched
