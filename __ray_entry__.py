@@ -263,20 +263,23 @@ def _q_seq_pack_sums(sf_dir: str):
     actual token payloads, not just assignments. tokens_sum comes from
     the real arrays (functions/tokens.py list-buffer prefix sums); the
     oracle recomputes it in SQL."""
-    from ray.data.aggregate import Count, Sum
-
     from logpipe_ray.functions.tokens import add_tokens_sum
     from logpipe_ray.sources.sequences import synthesize_sequences
     from logpipe_ray.stages.packing import pack_by_token_budget
+    from logpipe_ray.stages.smallagg import grouped_agg
 
     ds = synthesize_sequences(sf_dir).map_batches(
         add_tokens_sum, batch_format="pyarrow"
     )
     packed = pack_by_token_budget(ds, budget=2048, carry_cols=("tokens_sum",))
-    return packed.groupby(["source", "pack_id"]).aggregate(
-        Count(alias_name="n_docs"),
-        Sum("n_tok", alias_name="pack_tokens"),
-        Sum("tokens_sum", alias_name="pack_checksum"),
+    # pack ids correlate with the ordered blocks, so per-block partials
+    # hold only the packs present in that block — the fold sees the
+    # result-sized table, never a keyed shuffle (stages/smallagg)
+    return grouped_agg(
+        packed,
+        ["source", "pack_id"],
+        sums={"pack_tokens": "n_tok", "pack_checksum": "tokens_sum"},
+        count="n_docs",
     )
 
 

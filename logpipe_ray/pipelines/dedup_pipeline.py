@@ -621,11 +621,21 @@ def remove_duplicate_spans(
             }
         )
 
-    # materialize: dup-proportional (one row per doc WITH removals) —
-    # the count bounds the join partitions below so no right-side
-    # partition can be empty-schema-less (the r2 ArrowInvalid class)
+    # materialize: dup positions are DUP-proportional, and their count
+    # bounds (a) the span-groupby sort ranges (so the second sort isn't
+    # over-partitioned into schema-less empties) and (b) the join
+    # partitions below (the r2 ArrowInvalid class)
+    from logpipe_ray.util import cluster_cpus
+
+    dups = dups.materialize()
+    n_dup = dups.count()
     span_lists = map_groups_typed(
-        dups, "doc_id", to_span_list, span_schema, batch_format="pyarrow"
+        dups,
+        "doc_id",
+        to_span_list,
+        span_schema,
+        batch_format="pyarrow",
+        pre_blocks=max(1, min(cluster_cpus(), n_dup // 8192 + 1)),
     ).materialize()
     n_span_docs = span_lists.count()
 

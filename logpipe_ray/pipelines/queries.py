@@ -80,13 +80,13 @@ def events_agg(sf_dir: str):
             {"event_type": b["event_type"], "value_cents": _cents(b["value"])}
         )
 
-    return (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby("event_type")
-        .aggregate(
-            Count(alias_name="n_events"),
-            Sum("value_cents", alias_name="sum_value_cents"),
-        )
+    from logpipe_ray.stages.smallagg import grouped_agg
+
+    return grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "event_type",
+        sums={"sum_value_cents": "value_cents"},
+        count="n_events",
     )
 
 
@@ -275,15 +275,17 @@ def q1_pricing(sf_dir: str):
             }
         )
 
-    return (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("qty", alias_name="sum_qty"),
-            Sum("base_cents", alias_name="sum_base_cents"),
-            Sum("disc_cents", alias_name="sum_disc_cents"),
-            Count(alias_name="n_rows"),
-        )
+    from logpipe_ray.stages.smallagg import grouped_agg
+
+    return grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        sums={
+            "sum_qty": "qty",
+            "sum_base_cents": "base_cents",
+            "sum_disc_cents": "disc_cents",
+        },
+        count="n_rows",
     )
 
 
@@ -309,10 +311,13 @@ def join_broadcast(sf_dir: str):
             {"p_brand": b["p_brand"], "qty": pc.cast(b["l_quantity"], pa.int64())}
         )
 
-    return (
-        joined.map_batches(prep, batch_format="pyarrow")
-        .groupby("p_brand")
-        .aggregate(Count(alias_name="n_items"), Sum("qty", alias_name="sum_qty"))
+    from logpipe_ray.stages.smallagg import grouped_agg
+
+    return grouped_agg(
+        joined.map_batches(prep, batch_format="pyarrow"),
+        "p_brand",
+        sums={"sum_qty": "qty"},
+        count="n_items",
     )
 
 
@@ -342,13 +347,13 @@ def join_hash(sf_dir: str):
             }
         )
 
-    return (
-        joined.map_batches(prep, batch_format="pyarrow")
-        .groupby("c_mktsegment")
-        .aggregate(
-            Count(alias_name="n_orders"),
-            Sum("total_cents", alias_name="sum_total_cents"),
-        )
+    from logpipe_ray.stages.smallagg import grouped_agg
+
+    return grouped_agg(
+        joined.map_batches(prep, batch_format="pyarrow"),
+        "c_mktsegment",
+        sums={"sum_total_cents": "total_cents"},
+        count="n_orders",
     )
 
 
@@ -1920,13 +1925,13 @@ def multijoin_nation_revenue(sf_dir: str):
         disc = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
         return pa.table({"n_name": b["n_name"], "rev_cents": _cents(disc)})
 
-    return (
-        joined.map_batches(prep, batch_format="pyarrow")
-        .groupby("n_name")
-        .aggregate(
-            Sum("rev_cents", alias_name="revenue_cents"),
-            Count(alias_name="n_items"),
-        )
+    from logpipe_ray.stages.smallagg import grouped_agg
+
+    return grouped_agg(
+        joined.map_batches(prep, batch_format="pyarrow"),
+        "n_name",
+        sums={"revenue_cents": "rev_cents"},
+        count="n_items",
     )
 
 
@@ -1997,9 +2002,12 @@ def events_pivot(sf_dir: str):
             cols[f"n_{t}"] = pc.cast(pc.equal(b["event_type"], t), pa.int64())
         return pa.table(cols)
 
-    aggs = [Sum(f"n_{t}", alias_name=f"n_{t}") for t in types]
-    return (
-        ds.map_batches(prep, batch_format="pyarrow").groupby("user_id").aggregate(*aggs)
+    from logpipe_ray.stages.smallagg import grouped_agg
+
+    return grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "user_id",
+        sums={f"n_{t}": f"n_{t}" for t in types},
     )
 
 
@@ -2033,7 +2041,11 @@ def events_median(sf_dir: str):
 
     schema = pa.schema([("event_type", pa.string()), ("median_cents", pa.float64())])
     return map_groups_typed(
-        ds.map_batches(prep, batch_format="pyarrow"), "event_type", med, schema
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "event_type",
+        med,
+        schema,
+        pre_blocks=4,  # 5 event types — more sort ranges would be empty
     )
 
 
@@ -2082,25 +2094,15 @@ def events_latest(sf_dir: str):
         )
 
     partials = ds.map_batches(argmax_per_user, batch_format="pyarrow")
-    # fold partials with a custom distributed aggregate: the hash shuffle
-    # moves ≤ n_users rows per block, accumulate_block is vectorized per
-    # (key, block), merges compare two (ts, id) tuples — no per-key pandas
-    from ray.data.aggregate import AggregateFn
-
-    def acc_block(a, blk: pa.Table):
-        ts = blk["ts"].to_numpy(zero_copy_only=False)
-        eid = blk["event_id"].to_numpy(zero_copy_only=False)
-        i = int(np.lexsort((eid, ts))[-1])
-        return max(a, (int(ts[i]), int(eid[i])))
-
-    latest = AggregateFn(
-        init=lambda k: (-(1 << 62), -(1 << 62)),
-        accumulate_block=acc_block,
-        merge=lambda a, b: max(a, b),
-        finalize=lambda a: a[1],
-        name="event_id",
+    # argmax_per_user is associative over (ts, event_id), so the fold is
+    # the same kernel run once over the coalesced partials (≤ n_users
+    # rows per block) — a block-ref repartition, no keyed shuffle, so no
+    # empty reduce partitions (smallagg module docstring).
+    return (
+        partials.repartition(1)
+        .map_batches(argmax_per_user, batch_format="pyarrow", batch_size=None)
+        .select_columns(["user_id", "event_id"])
     )
-    return partials.groupby("user_id").aggregate(latest)
 
 
 @query(

@@ -83,36 +83,34 @@ def exact_dedup(
     per unique content (the config-stage / pipeline form of the
     ``dedup_exact`` query, which returns only stats).
 
-    Shape: content hash per batch (vectorized) → ONE all-to-all shuffle
-    into ``num_buckets`` hash buckets (irreducible for exact dedup: a
-    row's duplicates can live anywhere) → vectorized sort +
-    first-wins inside each bucket. No per-unique-doc Python round-trip
-    — a bucket holds many hash groups and is deduped with one pandas
-    ``drop_duplicates``. Size ``num_buckets`` so corpus/num_buckets
-    rows fit a worker's heap."""
+    Shape: content hash per batch (vectorized) → ONE all-to-all range
+    shuffle on the hash itself (irreducible for exact dedup: a row's
+    duplicates can live anywhere; the sort invariant co-locates every
+    hash's copies in one block) → vectorized first-wins per block.
+    Sorting on the HIGH-cardinality ``text_hash`` — rather than a
+    ``hash % num_buckets`` key — keeps every range nonempty (range
+    bounds are quantiles of present keys), so the shuffle emits no
+    schema-less empty blocks (stages/smallagg docstring).
+    ``num_buckets`` bounds the shuffle block count; size it so
+    corpus/num_buckets rows fit a worker's heap."""
     from functools import partial
-
-    import pandas as pd
 
     hashed = ds.map_batches(
         partial(add_text_hash, text_col=text_col), batch_format="pyarrow"
-    )
+    ).repartition(num_buckets)
 
-    def add_bucket(b: pa.Table) -> pa.Table:
-        h = b["text_hash"].to_numpy(zero_copy_only=False)
-        return b.append_column(
-            "_bucket", pa.array((h % num_buckets).astype(np.int32))
-        )
+    def first_wins(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.drop_columns(["text_hash"])
+        h = b["text_hash"].combine_chunks().to_numpy(zero_copy_only=False)
+        i = b[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, h))
+        hs = h[order]
+        first = np.concatenate(([True], hs[1:] != hs[:-1]))
+        return b.take(pa.array(order[first])).drop_columns(["text_hash"])
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["text_hash", id_col])
-        g = g.drop_duplicates(subset=["text_hash"], keep="first")
-        return g.drop(columns=["text_hash", "_bucket"])
-
-    return (
-        hashed.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("_bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+    return hashed.sort("text_hash").map_batches(
+        first_wins, batch_format="pyarrow", batch_size=None
     )
 
 

@@ -35,7 +35,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Sum
 
 from logpipe_ray.functions.tokens import _list_buffers
 
@@ -106,11 +105,13 @@ def pack_by_token_budget(
     keyed = ds.map_batches(add_bucket, batch_format="pyarrow").materialize()
 
     # level 1: per-(source, ordered-bucket) token totals — a SMALL table
-    totals = (
-        keyed.groupby(["source", "bucket"])
-        .aggregate(Sum("n_tok", alias_name="tok_total"))
-        .to_pandas()
-    )
+    # (per-block partials + one fold; no keyed shuffle → no empty
+    # reduce partitions, see stages/smallagg)
+    from logpipe_ray.stages.smallagg import grouped_agg, map_groups_typed
+
+    totals = grouped_agg(
+        keyed, ["source", "bucket"], sums={"tok_total": "n_tok"}
+    ).to_pandas()
     totals = totals.sort_values(["source", "bucket"])
     totals["offset"] = (
         totals.groupby("source")["tok_total"].cumsum() - totals["tok_total"]
@@ -142,8 +143,26 @@ def pack_by_token_budget(
             out[c] = g[c].to_numpy()
         return pd.DataFrame(out)
 
-    return keyed.groupby(["source", "bucket"]).map_groups(
-        per_bucket, batch_format="pandas"
+    arrow_schema = keyed.schema().base_schema  # known: keyed materialized
+    fields = [(id_col, arrow_schema.field(id_col).type)]
+    if source_col is not None:
+        fields.append(("source", pa.string()))
+    fields.append((n_tok_col, pa.int64()))
+    fields.append(("pack_id", pa.int64()))
+    fields += [(c, arrow_schema.field(c).type) for c in carry_cols]
+    # Sort ranges come from sampled key quantiles: a skewed combo
+    # duplicates boundaries and surplus ranges come out empty. Bound
+    # ranges by BOTH the key cardinality and the data volume (~256k
+    # rows per range) — at toy scale that is one nonempty range, at
+    # scale combos ≈ blocks by bucket_width design.
+    n_rows = keyed.count()  # keyed is materialized — count is metadata
+    pre = max(1, min(len(offsets), n_rows // 262144 + 1))
+    return map_groups_typed(
+        keyed,
+        ["source", "bucket"],
+        per_bucket,
+        pa.schema(fields),
+        pre_blocks=pre,
     )
 
 

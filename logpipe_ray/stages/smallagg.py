@@ -80,6 +80,55 @@ def fold_partials(
     )
 
 
+def grouped_agg(
+    ds: ray.data.Dataset,
+    keys: list[str] | str,
+    *,
+    sums: dict[str, str] | None = None,
+    count: str | None = None,
+    num_blocks: int = 1,
+) -> ray.data.Dataset:
+    """``groupby(keys).aggregate(Sum/Count)`` for BOUNDED-cardinality
+    keys, with no keyed shuffle: per-block vectorized ``pyarrow``
+    ``group_by`` partials (≤ cardinality rows leave any block) folded
+    by :func:`fold_partials`. Unlike the native aggregate, no reduce
+    partition can be empty, so no schema-less zero-column blocks reach
+    the streaming executor (module docstring).
+
+    ``sums`` maps OUTPUT column name → input column; ``count`` names a
+    count(*) output column. Output columns: keys, then sums in dict
+    order, then count.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    sums = dict(sums or {})
+    aggs = [(c, "sum") for c in sums.values()]
+    if count is not None:
+        aggs.append(([], "count_all"))
+    rename = {f"{c}_sum": out for out, c in sums.items()}
+    if count is not None:
+        rename["count_all"] = count
+    out_vals = list(sums) + ([count] if count is not None else [])
+
+    def _sum_type(t: pa.DataType) -> pa.DataType:
+        # pyarrow group_by "sum" promotes integers to int64; floats stay
+        return pa.int64() if pa.types.is_integer(t) else t
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            cols = {k: b[k] for k in keys}
+            for out, c in sums.items():
+                cols[out] = pa.array([], type=_sum_type(b[c].type))
+            if count is not None:
+                cols[count] = pa.array([], type=pa.int64())
+            return pa.table(cols)
+        g = b.group_by(keys).aggregate(aggs)
+        g = g.rename_columns([rename.get(c, c) for c in g.column_names])
+        return g.select(keys + out_vals)
+
+    partial_ds = ds.map_batches(partial, batch_format="pyarrow")
+    return fold_partials(partial_ds, keys, out_vals, num_blocks=num_blocks)
+
+
 def count_partials(
     ds: ray.data.Dataset,
     keys: list[str] | str,
