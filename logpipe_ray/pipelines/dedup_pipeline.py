@@ -36,8 +36,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Count, Min
-
 from logpipe_ray.stages.dedup import (
     explode_lsh_bands,
     jaccard,
@@ -160,9 +158,32 @@ def candidate_pairs(
     bucket_pairs = band_rows.sort(["band_id", "band_hash"]).map_batches(
         pairs_from_sorted_runs, batch_format="pyarrow", batch_size=None
     )
-    return bucket_pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Count(alias_name="n_bands")
+    from logpipe_ray.stages.smallagg import sorted_runs_fold
+
+    nb_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("n_bands", pa.int64())]
     )
+
+    def count_bands(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return nb_schema.empty_table()
+        a = _col_np(b, "doc_a")
+        bb = _col_np(b, "doc_b")
+        change = (a[1:] != a[:-1]) | (bb[1:] != bb[:-1])
+        starts = np.concatenate(([0], np.flatnonzero(change) + 1))
+        ends = np.concatenate((starts[1:], [len(a)]))
+        return pa.table(
+            {
+                "doc_a": pa.array(a[starts], type=pa.int64()),
+                "doc_b": pa.array(bb[starts], type=pa.int64()),
+                "n_bands": pa.array(ends - starts, type=pa.int64()),
+            }
+        )
+
+    # pair rows are dup-proportional — the fold sorts them once with
+    # volume-bounded ranges (no empty schema-less blocks) and counts
+    # band matches per (doc_a, doc_b) run vectorized
+    return sorted_runs_fold(bucket_pairs, ["doc_a", "doc_b"], count_bands)
 
 
 def pairs_from_sorted_runs(block: pa.Table) -> pa.Table:
@@ -373,20 +394,40 @@ def simhash_near_pairs(
         partial(simhash_band_explode, bands=bands, band_bits=band_bits),
         batch_format="pyarrow",
     )
-    pairs = band_rows.sort(["band_id", "band_val"]).map_batches(
+    from logpipe_ray.stages.smallagg import sorted_runs_fold
+
+    pairs = sorted_runs_fold(
+        band_rows,
+        ["band_id", "band_val"],
         partial(simhash_pairs_from_sorted_runs, max_hamming=max_hamming),
-        batch_format="pyarrow",
-        batch_size=None,
+        rows_per_block=262144,
     )
-    uniq = pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("hamming", alias_name="hamming")
+    from logpipe_ray.stages.smallagg import sorted_runs_fold
+
+    ham_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int64())]
     )
-    tbl = pa.Table.from_pylist(
-        uniq.take_all(),
-        schema=pa.schema(
-            [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int64())]
-        ),
-    )
+
+    def min_hamming(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return ham_schema.empty_table()
+        a = _col_np(b, "doc_a")
+        bb = _col_np(b, "doc_b")
+        h = _col_np(b, "hamming")
+        change = (a[1:] != a[:-1]) | (bb[1:] != bb[:-1])
+        starts = np.concatenate(([0], np.flatnonzero(change) + 1))
+        return pa.table(
+            {
+                "doc_a": pa.array(a[starts], type=pa.int64()),
+                "doc_b": pa.array(bb[starts], type=pa.int64()),
+                "hamming": pa.array(
+                    np.minimum.reduceat(h, starts), type=pa.int64()
+                ),
+            }
+        )
+
+    uniq = sorted_runs_fold(pairs, ["doc_a", "doc_b"], min_hamming)
+    tbl = pa.Table.from_pylist(uniq.take_all(), schema=ham_schema)
     order = pc.sort_indices(
         tbl,
         sort_keys=[
@@ -436,14 +477,33 @@ def min_label_propagation(
 
     both = edges.map_batches(both_dirs, batch_format="pyarrow").materialize()
 
-    labels = (
+    from logpipe_ray.stages.smallagg import sorted_runs_fold
+
+    lbl_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+
+    def _min_per_node(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return lbl_schema.empty_table()
+        n = _col_np(b, "node")
+        l = _col_np(b, "label")
+        starts = np.concatenate(([0], np.flatnonzero(n[1:] != n[:-1]) + 1))
+        return pa.table(
+            {
+                "node": pa.array(n[starts], type=pa.int64()),
+                "label": pa.array(np.minimum.reduceat(l, starts), type=pa.int64()),
+            }
+        )
+
+    def _fold_labels(ds: ray.data.Dataset) -> ray.data.Dataset:
+        # node-proportional input; one volume-bounded range sort + a
+        # vectorized min-per-run — no over-partitioned keyed shuffle
+        return sorted_runs_fold(ds, "node", _min_per_node).materialize()
+
+    labels = _fold_labels(
         both.map_batches(
             lambda b: pa.table({"node": b["src"], "label": b["src"]}),
             batch_format="pyarrow",
         )
-        .groupby("node")
-        .aggregate(Min("label", alias_name="label"))
-        .materialize()
     )
     # node count is constant across rounds — clamp the per-round join
     # partitions by it once (empty-partition guard, joins.join_partitions;
@@ -472,13 +532,7 @@ def min_label_propagation(
             lambda b: pa.table({"node": b["node0"], "label": b["label"]}),
             batch_format="pyarrow",
         )
-        labels = (
-            labels.union(msgs)
-            .union(hops)
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .materialize()
-        )
+        labels = _fold_labels(labels.union(msgs).union(hops))
         cur = labels.sum("label")
         if cur == prev_sum:
             break

@@ -135,7 +135,6 @@ def keep_best_dedup(
     (max quality, min id among maxes, count) per fingerprint. The text
     itself never shuffles."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import AggregateFn, Sum
 
     from logpipe_ray.stages.smallagg import run_starts
 
@@ -172,32 +171,34 @@ def keep_best_dedup(
 
     parts = ds.map_batches(partials, batch_format="pyarrow")
 
-    # fold partials: state = (quality, -id) lexmax tuple; two aggregates
-    # share the kernel and finalize different components
-    def _acc(a, blk: pa.Table):
-        q = blk[quality_col].to_numpy(zero_copy_only=False)
-        did = blk[id_col].to_numpy(zero_copy_only=False)
-        i = int(np.lexsort((did, -q))[0])
-        return max(a, (int(q[i]), -int(did[i])))
-
-    def _best(name: str, pick):
-        return AggregateFn(
-            init=lambda k: (-(1 << 62), -(1 << 62)),
-            accumulate_block=_acc,
-            merge=lambda a, b: max(a, b),
-            finalize=pick,
-            name=name,
+    # fold partials: ONE range sort on the high-cardinality fingerprint
+    # (every range nonempty — distinct fps far exceed partial blocks;
+    # the sort invariant co-locates a fp's partial rows in one block),
+    # then a single vectorized run-merge per block — no per-key Python
+    # accumulator, no low-cardinality shuffle.
+    def combine(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty.select([id_col, quality_col, "n_copies"])
+        fp = b["ws_fp"].combine_chunks().to_numpy(zero_copy_only=False)
+        did = b[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        q = b[quality_col].combine_chunks().to_numpy(zero_copy_only=False)
+        nc = b["n_copies"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, -q, fp))  # fp asc, quality desc, id asc
+        starts = run_starts(fp[order])
+        best = order[starts]
+        return pa.table(
+            {
+                id_col: pa.array(did[best], type=pa.int64()),
+                quality_col: pa.array(q[best], type=pa.int64()),
+                "n_copies": pa.array(
+                    np.add.reduceat(nc[order], starts), type=pa.int64()
+                ),
+            }
         )
 
-    agg = parts.groupby("ws_fp").aggregate(
-        _best(id_col, lambda a: -a[1]),
-        _best(quality_col, lambda a: a[0]),
-        Sum("n_copies", alias_name="n_copies"),
-    )
-    return agg.map_batches(
-        lambda b: b.select([id_col, quality_col, "n_copies"]),
-        batch_format="pyarrow",
-    )
+    from logpipe_ray.stages.smallagg import sorted_runs_fold
+
+    return sorted_runs_fold(parts, "ws_fp", combine, rows_per_block=262144)
 
 
 # --- vectorized shingle hashing --------------------------------------------

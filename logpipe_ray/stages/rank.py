@@ -113,12 +113,11 @@ def global_rank(
     # The map_groups sort sizes its output ranges from the INPUT block
     # count; with more ranges than distinct (group, bucket) keys the
     # surplus ranges are schema-less empty blocks (see stages/smallagg
-    # module docstring). The distinct-key count is exactly len(counts)
-    # here — a cheap ref-coalescing repartition keeps every range
-    # nonempty without capping shuffle parallelism at scale.
-    from logpipe_ray.util import cluster_cpus
-
-    keyed = keyed.repartition(max(1, min(len(counts), cluster_cpus())))
+    # module docstring). Bound ranges by the distinct-key count AND the
+    # data volume (~256k rows per range — skewed keys duplicate sampled
+    # quantile boundaries, so cardinality alone still leaves empties).
+    n_rows = keyed.count()  # keyed is materialized — count is metadata
+    pre_blocks = max(1, min(len(counts), n_rows // 262144 + 1))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         from logpipe_ray.util import bounded_resolve
@@ -140,6 +139,22 @@ def global_rank(
             out[c] = g[c].to_numpy()[order]
         return pd.DataFrame(out)
 
-    return keyed.groupby(group_cols + ["bucket"]).map_groups(
-        per_bucket, batch_format="pandas"
+    arrow_schema = keyed.schema().base_schema
+    # mirror per_bucket's dict semantics when names collide (key_col may
+    # equal id_col): first occurrence keeps the position, last the type
+    fields: dict[str, pa.DataType] = {}
+    fields[id_col] = arrow_schema.field(id_col).type
+    fields[key_col] = pa.int64()
+    fields[rank_col] = pa.int64()
+    for c in group_cols + list(carry_cols):
+        fields[c] = arrow_schema.field(c).type
+    fields = list(fields.items())
+    from logpipe_ray.stages.smallagg import map_groups_typed
+
+    return map_groups_typed(
+        keyed,
+        group_cols + ["bucket"],
+        per_bucket,
+        pa.schema(fields),
+        pre_blocks=pre_blocks,
     )

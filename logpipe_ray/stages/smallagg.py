@@ -239,3 +239,29 @@ def map_groups_typed(
         return pa.concat_tables(outs) if outs else out_schema.empty_table()
 
     return sorted_ds.map_batches(apply, batch_format="pyarrow", batch_size=None)
+
+
+def sorted_runs_fold(
+    ds: ray.data.Dataset,
+    keys: list[str] | str,
+    combine: Callable[[pa.Table], pa.Table],
+    *,
+    rows_per_block: int = 65536,
+) -> ray.data.Dataset:
+    """Global per-key fold of a KEY-PROPORTIONAL dataset (candidate
+    pairs, dup positions, ... — small relative to the corpus but not
+    driver-sized): materialize (the input is about to be consumed by a
+    count anyway), coalesce to volume-bounded blocks, ONE range sort on
+    ``keys`` (block count ≤ rows/rows_per_block, so no sort range comes
+    out empty/schema-less), then ``combine`` — a vectorized run-scan
+    over each block (the sort invariant co-locates a key's rows).
+    ``combine`` must be associative-safe per key run (count/min/max/sum
+    via ``run_starts`` + ``np.{add,minimum,...}.reduceat``)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    ds = ds.materialize()
+    blocks = max(1, ds.count() // rows_per_block + 1)
+    return (
+        ds.repartition(blocks)
+        .sort(keys)
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
+    )
