@@ -437,6 +437,8 @@ def entry() -> Any:
 # queries green in both prior rounds take the tail.
 _DRIVER_PRIORITY = [
     # new / fixed / changed this round
+    "join_range",
+    "events_band_join",
     "dedup_substr",
     "orders_global_rank",
     "docs_stratified_split",

@@ -2277,6 +2277,102 @@ def join_outer(sf_dir: str):
 
 
 @query(
+    "join_range",
+    """WITH tiers(lo, hi, tier) AS (VALUES
+         (0,        1000000,  'low'),
+         (1000000,  10000000, 'mid'),
+         (10000000, 30000000, 'high'),
+         (25000000, 60000000, 'bulk'))
+       SELECT o_orderkey,
+              CAST(round(o_totalprice*100) AS BIGINT) AS price_cents,
+              tier
+       FROM orders JOIN tiers
+         ON CAST(round(o_totalprice*100) AS BIGINT) >= lo
+        AND CAST(round(o_totalprice*100) AS BIGINT) < hi""",
+)
+def join_range(sf_dir: str):
+    """Non-equi range join: each order matched to every price tier whose
+    [lo, hi) interval contains its cents price. The 'high'/'bulk' tiers
+    OVERLAP deliberately — orders in [25M, 30M) cents emit two rows,
+    exercising the 1:N interval semantics a searchsorted bucketing
+    cannot express. Broadcast shape (joins.broadcast_range_join): the
+    tier table ships once via ray.put; each batch runs one vectorized
+    mask per interval — no shuffle, no row loop."""
+    from logpipe_ray.stages.joins import broadcast_range_join
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                "price_cents": _cents(b["o_totalprice"]),
+            }
+        )
+
+    tiers = pa.table(
+        {
+            "lo": pa.array([0, 1_000_000, 10_000_000, 25_000_000], pa.int64()),
+            "hi": pa.array(
+                [1_000_000, 10_000_000, 30_000_000, 60_000_000], pa.int64()
+            ),
+            "tier": pa.array(["low", "mid", "high", "bulk"]),
+        }
+    )
+    return broadcast_range_join(
+        ds.map_batches(prep, batch_format="pyarrow"), tiers, value_col="price_cents"
+    )
+
+
+@query(
+    "events_band_join",
+    """SELECT a.event_id, count(b.event_id) AS n_nearby
+       FROM events a LEFT JOIN events b
+         ON a.user_id = b.user_id AND b.event_type = 'purchase'
+        AND b.ts BETWEEN a.ts - INTERVAL 2 HOUR AND a.ts + INTERVAL 2 HOUR
+       WHERE a.event_type = 'click'
+       GROUP BY a.event_id""",
+)
+def events_band_join(sf_dir: str):
+    """Large×large band join: for every click, the number of purchases
+    by the same user within ±2 h (inclusive — BETWEEN parity). The
+    distributed shape is joins.band_join_count: bucket t // delta,
+    replicate the purchase side into ±1 neighbor buckets, ONE
+    volume-bounded range sort on (user, bucket), then per-run
+    searchsorted counting — 4×int64 tuples shuffle, never an all-pairs
+    product. Zero-match clicks emit 0 (LEFT JOIN parity)."""
+    from logpipe_ray.stages.joins import band_join_count
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def us(b: pa.Table, typ: str, with_id: bool) -> pa.Table:
+        b = b.filter(pc.equal(b["event_type"], typ))
+        cols = {
+            "key": pc.cast(b["user_id"], pa.int64()),
+            "t": pc.cast(b["ts"], pa.int64()),
+        }
+        if with_id:
+            cols["id"] = pc.cast(b["event_id"], pa.int64())
+        return pa.table(cols)
+
+    left = ds.map_batches(
+        lambda b: us(b, "click", True), batch_format="pyarrow"
+    )
+    right = ds.map_batches(
+        lambda b: us(b, "purchase", False), batch_format="pyarrow"
+    )
+    return band_join_count(
+        left,
+        right,
+        delta=2 * 3600 * 1_000_000,
+        out_col="n_nearby",
+    ).map_batches(
+        lambda b: b.rename_columns(["event_id", "n_nearby"]),
+        batch_format="pyarrow",
+    )
+
+
+@query(
     "events_rollup",
     """SELECT COALESCE(event_type, 'ALL') AS event_type,
               count(*) AS n_events,

@@ -14,10 +14,18 @@ set, each chosen by side sizes:
   hash join; B chosen so a bucket fits a worker's heap; salt hot keys.
 - **semi / anti join**: broadcast the key set, vectorized ``is_in``
   filter inside ``map_batches`` — never a shuffle.
+- **range join** (non-equi): broadcast variant for dimension-sized
+  interval tables (per-interval vectorized masks — intervals may
+  overlap); banded variant for large×large time-proximity joins
+  (bucket by ``t // delta``, replicate the right side into the ±1
+  neighbor buckets, co-locate with ONE volume-bounded range sort and
+  count per run with ``np.searchsorted`` — the classic band-join
+  restatement; only (key, t, id) triples shuffle, never payloads).
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -161,6 +169,170 @@ def join_partitions(
     if small_rows is not None:
         base = min(base, -(-small_rows // rows_per_partition))
     return max(2, base)
+
+
+class BroadcastRangeJoiner:
+    """Inner range join against a broadcast intervals table.
+
+    Emits one output row per (left row, interval) pair with
+    ``lo <= value < hi``; intervals MAY overlap (each is tested
+    independently with a vectorized mask — the interval table is
+    dimension-sized, so the per-batch cost is n_intervals masks, not a
+    nested loop over rows). Label columns (everything in ``ranges``
+    except lo/hi) are appended to the matched rows.
+    """
+
+    def __init__(self, ranges_ref, *, value_col: str, lo_col: str = "lo", hi_col: str = "hi"):
+        self.ranges_ref = ranges_ref
+        self.value_col = value_col
+        self.lo_col = lo_col
+        self.hi_col = hi_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ranges: pa.Table = _resolve(self.ranges_ref)
+        label_cols = [
+            n for n in ranges.column_names if n not in (self.lo_col, self.hi_col)
+        ]
+        out_schema = batch.schema
+        for n in label_cols:
+            out_schema = out_schema.append(ranges.schema.field(n))
+        v = batch[self.value_col]
+        parts: list[pa.Table] = []
+        for i in range(ranges.num_rows):
+            lo = ranges[self.lo_col][i].as_py()
+            hi = ranges[self.hi_col][i].as_py()
+            sel = batch.filter(
+                pc.and_(pc.greater_equal(v, lo), pc.less(v, hi))
+            )
+            if sel.num_rows == 0:
+                continue
+            for n in label_cols:
+                typ = ranges.schema.field(n).type
+                val = pa.scalar(ranges[n][i].as_py(), type=typ)
+                sel = sel.append_column(n, pa.repeat(val, sel.num_rows))
+            parts.append(sel)
+        return pa.concat_tables(parts) if parts else out_schema.empty_table()
+
+
+def broadcast_range_join(
+    ds: ray.data.Dataset,
+    ranges: pa.Table,
+    *,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    batch_size: int = 16384,
+) -> ray.data.Dataset:
+    ref = ray.put(ranges)
+    return ds.map_batches(
+        BroadcastRangeJoiner(ref, value_col=value_col, lo_col=lo_col, hi_col=hi_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
+def band_join_count(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    delta: int,
+    key_col: str = "key",
+    t_col: str = "t",
+    id_col: str = "id",
+    out_col: str = "n_matches",
+) -> ray.data.Dataset:
+    """Large×large band join, aggregated: for every left row, the COUNT
+    of right rows with the same key and ``|right.t - left.t| <= delta``
+    (inclusive both ends — SQL ``BETWEEN t-delta AND t+delta`` parity).
+
+    ``left`` columns: (key_col, t_col, id_col); ``right``: (key_col,
+    t_col). Both int64 (cast timestamps to epoch µs upstream).
+
+    Scale shape: bucket ``t // delta``; a right row is replicated into
+    its bucket and both neighbors (any match is within ±1 bucket of the
+    left row's), so one volume-bounded range sort on (key, bucket)
+    co-locates every left row with ALL its candidates; per-run counting
+    is two ``np.searchsorted`` calls against the run's sorted right
+    timestamps. Only 4×int64 tuples move — 3× the right side's keys +
+    the left's — never an all-pairs product, never a payload shuffle.
+    Left rows with zero matches are emitted with 0 (LEFT JOIN parity).
+    """
+    from logpipe_ray.stages.smallagg import sorted_runs_fold
+
+    def prep_left(b: pa.Table) -> pa.Table:
+        t = b[t_col].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": pc.cast(b[key_col], pa.int64()),
+                "bkt": pa.array(t // delta, type=pa.int64()),
+                "side": pa.array(np.zeros(len(t), dtype=np.int8)),
+                "t": pa.array(t, type=pa.int64()),
+                "rid": pc.cast(b[id_col], pa.int64()),
+            }
+        )
+
+    def prep_right(b: pa.Table) -> pa.Table:
+        t = b[t_col].combine_chunks().to_numpy(zero_copy_only=False)
+        k = b[key_col].combine_chunks().to_numpy(zero_copy_only=False)
+        bkt = t // delta
+        n = len(t)
+        return pa.table(
+            {
+                "k": pa.array(np.tile(k, 3), type=pa.int64()),
+                "bkt": pa.array(
+                    np.concatenate((bkt - 1, bkt, bkt + 1)), type=pa.int64()
+                ),
+                "side": pa.array(np.ones(3 * n, dtype=np.int8)),
+                "t": pa.array(np.tile(t, 3), type=pa.int64()),
+                "rid": pa.array(np.zeros(3 * n, dtype=np.int64)),
+            }
+        )
+
+    tagged = left.map_batches(prep_left, batch_format="pyarrow").union(
+        right.map_batches(prep_right, batch_format="pyarrow")
+    )
+
+    out_schema = pa.schema([(id_col, pa.int64()), (out_col, pa.int64())])
+
+    def count_runs(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        k = b["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        bkt = b["bkt"].combine_chunks().to_numpy(zero_copy_only=False)
+        side = b["side"].combine_chunks().to_numpy(zero_copy_only=False)
+        t = b["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        rid = b["rid"].combine_chunks().to_numpy(zero_copy_only=False)
+        # normalize within-run order: rights sorted by t, lefts after
+        order = np.lexsort((t, side, bkt, k))
+        k, bkt, side, t, rid = k[order], bkt[order], side[order], t[order], rid[order]
+        change = (k[1:] != k[:-1]) | (bkt[1:] != bkt[:-1])
+        starts = np.concatenate(([0], np.flatnonzero(change) + 1))
+        ends = np.concatenate((starts[1:], [len(k)]))
+        ids: list[np.ndarray] = []
+        cnt: list[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            sd = side[s:e]
+            nl = int(np.searchsorted(sd, 1))  # lefts sort first (side 0)
+            if nl == 0:
+                continue
+            lt, rt = t[s : s + nl], t[s + nl : e]
+            ids.append(rid[s : s + nl])
+            cnt.append(
+                np.searchsorted(rt, lt + delta, side="right")
+                - np.searchsorted(rt, lt - delta, side="left")
+            )
+        if not ids:
+            return out_schema.empty_table()
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(ids), type=pa.int64()),
+                out_col: pa.array(
+                    np.concatenate(cnt).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    return sorted_runs_fold(tagged, ["k", "bkt"], count_runs, rows_per_block=262144)
 
 
 def hash_join(
