@@ -439,6 +439,9 @@ _DRIVER_PRIORITY = [
     # new / fixed / changed this round
     "join_range",
     "events_band_join",
+    "events_moments",
+    "text_normalize",
+    "events_user_journey",
     "dedup_substr",
     "orders_global_rank",
     "docs_stratified_split",

@@ -2373,6 +2373,110 @@ def events_band_join(sf_dir: str):
 
 
 @query(
+    "events_moments",
+    """SELECT event_type, count(*) AS n_events,
+              CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                AS sum_cents,
+              CAST(sum(CAST(round(value*100) AS BIGINT)
+                       * CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                AS sumsq_cents
+       FROM events GROUP BY event_type""",
+)
+def events_moments(sf_dir: str):
+    """Mergeable second moments: (n, Σx, Σx²) per group in exact integer
+    cents — the distributed restatement of AVG/VAR/STDDEV (all derivable
+    from the three, and the partials merge by plain addition, unlike the
+    float statistics themselves, whose sum order is engine-dependent).
+    One corpus pass of per-batch group_by partials, folded without a
+    keyed shuffle (event_type is bounded-cardinality)."""
+    from logpipe_ray.stages.smallagg import grouped_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = _cents(b["value"])
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "cents": cents,
+                "sq": pc.multiply(cents, cents),
+            }
+        )
+
+    return grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "event_type",
+        sums={"sum_cents": "cents", "sumsq_cents": "sq"},
+        count="n_events",
+    )
+
+
+@query(
+    "text_normalize",
+    """SELECT c_custkey,
+              trim(regexp_replace(lower(c_name), '[^a-z0-9]+', ' ', 'g'))
+                AS norm_name
+       FROM customer""",
+)
+def text_normalize(sf_dir: str):
+    """Vectorized text normalization (casefold → non-alnum collapse →
+    trim), the standard first stage of a training-data text pipeline.
+    Three Arrow C++ kernel passes per batch (utf8_lower, RE2
+    replace_substring_regex, utf8_trim_whitespace) — no Python rows;
+    both engines run the same RE2 pattern, so the oracle is
+    hash-exact."""
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def norm(b: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(b["c_name"])
+        s = pc.replace_substring_regex(s, pattern="[^a-z0-9]+", replacement=" ")
+        return pa.table(
+            {
+                "c_custkey": pc.cast(b["c_custkey"], pa.int64()),
+                "norm_name": pc.utf8_trim_whitespace(s),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+@query(
+    "events_user_journey",
+    """SELECT user_id,
+              string_agg(event_type, '>' ORDER BY ts, event_id) AS journey,
+              count(*) AS n_events
+       FROM events GROUP BY user_id""",
+)
+def events_user_journey(sf_dir: str):
+    """Ordered per-key list aggregation (collect_list ORDER BY ts): each
+    user's full event-type sequence as one delimited string — the
+    sessionless 'user journey' shape sequence-model training data wants.
+    Keyed shuffle moves only (user, ts, id, type) tuples; the per-group
+    sort+join runs inside map_groups with a typed schema."""
+    import numpy as np
+    import pandas as pd
+
+    from logpipe_ray.stages.smallagg import map_groups_typed
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def per_user(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["ts", "event_id"])
+        return pd.DataFrame(
+            {
+                "user_id": np.asarray([g["user_id"].iloc[0]], dtype=np.int64),
+                "journey": [">".join(g["event_type"])],
+                "n_events": np.asarray([len(g)], dtype=np.int64),
+            }
+        )
+
+    schema = pa.schema(
+        [("user_id", pa.int64()), ("journey", pa.string()), ("n_events", pa.int64())]
+    )
+    return map_groups_typed(ds, "user_id", per_user, schema)
+
+
+@query(
     "events_rollup",
     """SELECT COALESCE(event_type, 'ALL') AS event_type,
               count(*) AS n_events,
