@@ -442,6 +442,7 @@ _DRIVER_PRIORITY = [
     "events_moments",
     "text_normalize",
     "events_user_journey",
+    "csv_source",
     "dedup_substr",
     "orders_global_rank",
     "docs_stratified_split",

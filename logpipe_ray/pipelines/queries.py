@@ -2738,6 +2738,61 @@ def jsonl_source(sf_dir: str):
     return ds.map_batches(prep, batch_format="pyarrow")
 
 
+def _csv_fixture(sf_dir: str) -> str:
+    """Write events as sharded CSV (deterministic: event_id order, 4
+    shards by range; Arrow's CSV writer emits shortest-round-trip
+    doubles, so value survives parquet→csv→parse exactly)."""
+    import os
+
+    import pyarrow.csv as pacsv
+    import pyarrow.parquet as pq
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    d = f"/tmp/lpr_csv_{tag}"
+    marker = os.path.join(d, "_SUCCESS")
+    if os.path.exists(marker):
+        return d
+    os.makedirs(d, exist_ok=True)
+    t = pq.read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value"],
+    ).sort_by("event_id")
+    n_shards = 4
+    per = -(-t.num_rows // n_shards)
+    for s in range(n_shards):
+        pacsv.write_csv(
+            t.slice(s * per, per), os.path.join(d, f"events-{s:04d}.csv")
+        )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return d
+
+
+@query(
+    "csv_source",
+    """SELECT event_id, user_id, event_type, value FROM events""",
+)
+def csv_source(sf_dir: str):
+    """Sharded CSV directory source: ``ray.data.read_csv`` (one read
+    task per shard, Arrow C++ parser — file-parallel like the
+    text/JSONL sources), column-projected to the contract schema with
+    an extension filter so the _SUCCESS marker is skipped."""
+    d = _csv_fixture(sf_dir)
+    ds = ray.data.read_csv(f"{d}/", file_extensions=["csv"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "event_type": b["event_type"],
+                "value": pc.cast(b["value"], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(prep, batch_format="pyarrow")
+
+
 @query(
     "source_mix",
     """WITH q AS (

@@ -176,10 +176,15 @@ class BroadcastRangeJoiner:
 
     Emits one output row per (left row, interval) pair with
     ``lo <= value < hi``; intervals MAY overlap (each is tested
-    independently with a vectorized mask — the interval table is
-    dimension-sized, so the per-batch cost is n_intervals masks, not a
-    nested loop over rows). Label columns (everything in ``ranges``
-    except lo/hi) are appended to the matched rows.
+    independently with a vectorized mask). When the interval table is
+    sorted and non-overlapping — the common case (price tiers, time
+    buckets, key ranges) — one ``np.searchsorted`` per batch replaces
+    the per-interval masks, so cost is O(rows·log n_intervals)
+    regardless of interval count; the general overlap path stays
+    O(rows·n_intervals) and is only right for dimension-sized tables.
+    The path is chosen once per actor from the broadcast table itself.
+    Label columns (everything in ``ranges`` except lo/hi) are appended
+    to the matched rows.
     """
 
     def __init__(self, ranges_ref, *, value_col: str, lo_col: str = "lo", hi_col: str = "hi"):
@@ -187,6 +192,20 @@ class BroadcastRangeJoiner:
         self.value_col = value_col
         self.lo_col = lo_col
         self.hi_col = hi_col
+        self._plan = None  # (disjoint: bool, los, his) resolved on first batch
+
+    def _resolve_plan(self, ranges: pa.Table):
+        if self._plan is None:
+            los = ranges[self.lo_col].combine_chunks().to_numpy(zero_copy_only=False)
+            his = ranges[self.hi_col].combine_chunks().to_numpy(zero_copy_only=False)
+            disjoint = bool(
+                np.issubdtype(los.dtype, np.number)
+                and np.all(los[1:] >= los[:-1])
+                and np.all(his[:-1] <= los[1:])
+                and np.all(los <= his)
+            )
+            self._plan = (disjoint, los, his)
+        return self._plan
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ranges: pa.Table = _resolve(self.ranges_ref)
@@ -196,7 +215,20 @@ class BroadcastRangeJoiner:
         out_schema = batch.schema
         for n in label_cols:
             out_schema = out_schema.append(ranges.schema.field(n))
+        disjoint, los, his = self._resolve_plan(ranges)
         v = batch[self.value_col]
+        if disjoint:
+            vn = v.combine_chunks().to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(los, vn, side="right") - 1
+            ok = (idx >= 0) & (vn < his[np.clip(idx, 0, len(his) - 1)])
+            sel = batch.take(pa.array(np.flatnonzero(ok), type=pa.int64()))
+            hit = idx[ok]
+            for n in label_cols:
+                col = ranges[n].combine_chunks().take(
+                    pa.array(hit, type=pa.int64())
+                )
+                sel = sel.append_column(n, col)
+            return sel if sel.num_rows else out_schema.empty_table()
         parts: list[pa.Table] = []
         for i in range(ranges.num_rows):
             lo = ranges[self.lo_col][i].as_py()

@@ -52,6 +52,39 @@ def test_broadcast_range_join_no_match_batch_typed():
     assert out.schema.field("tier").type == pa.string()
 
 
+def test_broadcast_range_join_disjoint_fast_path_matches_general():
+    # Sorted non-overlapping tiers take the searchsorted path; result
+    # must equal the general per-interval-mask path on the same input.
+    import ray as _ray
+
+    from logpipe_ray.stages.joins import BroadcastRangeJoiner
+
+    tiers = pa.table(
+        {
+            "lo": pa.array([0, 10, 25], pa.int64()),
+            "hi": pa.array([10, 20, 30], pa.int64()),  # gap [20,25)
+            "tier": pa.array(["a", "b", "c"]),
+        }
+    )
+    rng = np.random.default_rng(3)
+    vals = rng.integers(-5, 35, 500)
+    batch = pa.table(
+        {"id": pa.array(np.arange(500), pa.int64()),
+         "v": pa.array(vals, pa.int64())}
+    )
+    fast = BroadcastRangeJoiner(_ray.put(tiers), value_col="v")
+    assert fast._resolve_plan(tiers)[0] is True
+    general = BroadcastRangeJoiner(_ray.put(tiers), value_col="v")
+    general._plan = (False, None, None)
+    a = fast(batch).sort_by([("id", "ascending"), ("tier", "ascending")])
+    b = general(batch).sort_by([("id", "ascending"), ("tier", "ascending")])
+    assert a.equals(b)
+    # spot semantics: gap values and out-of-range match nothing
+    matched = set(a["id"].to_pylist())
+    for i, v in enumerate(vals):
+        assert (int(i) in matched) == (0 <= v < 20 or 25 <= v < 30)
+
+
 def test_band_join_count_boundaries_and_zero_matches():
     # delta=10; left at t=100 with rights at 90 and 110 (both inclusive),
     # 89 and 111 (both out); a second left with NO rights at all; a third
