@@ -136,3 +136,69 @@ class TestRunHelpers:
 
         keys = np.array(["a", "a", "b", "b", "b", "c"], dtype=object)
         assert run_ranks(keys).tolist() == [0, 1, 0, 1, 2, 0]
+
+
+class TestSortedRunsFold:
+    """sorted_runs_fold — the one-range-sort global fold that dedup
+    candidate counting, keep-best, label propagation, and the band join
+    all sit on. Checks the fold result against pandas groupby and the
+    whole-key-per-block invariant the combine relies on."""
+
+    @pytest.mark.parametrize("seed,n,keys,rpb", [
+        (1, 4000, 9, 512),       # many blocks, small cardinality
+        (2, 4000, 1500, 256),    # cardinality ≈ rows/2
+        (3, 3000, 5, 100000),    # single block
+        (4, 6000, 40, 333),      # skew below
+    ])
+    def test_matches_pandas_groupby(self, ray_session, seed, n, keys, rpb):
+        from logpipe_ray.stages.smallagg import run_starts, sorted_runs_fold
+
+        rng = np.random.RandomState(seed)
+        k = rng.randint(0, keys, n).astype(np.int64)
+        if seed == 4:  # one hot key holding half the rows
+            k[: n // 2] = 7
+        v = rng.randint(-50, 50, n).astype(np.int64)
+        ds = ray.data.from_arrow(
+            pa.table({"k": pa.array(k), "v": pa.array(v)})
+        ).repartition(11)
+
+        out_schema = pa.schema(
+            [("k", pa.int64()), ("n", pa.int64()), ("mn", pa.int64()),
+             ("sm", pa.int64())]
+        )
+
+        def combine(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return out_schema.empty_table()
+            kk = b["k"].combine_chunks().to_numpy(zero_copy_only=False)
+            vv = b["v"].combine_chunks().to_numpy(zero_copy_only=False)
+            order = np.argsort(kk, kind="stable")
+            kk, vv = kk[order], vv[order]
+            starts = run_starts(kk)
+            ends = np.concatenate((starts[1:], [len(kk)]))
+            return pa.table(
+                {
+                    "k": pa.array(kk[starts], type=pa.int64()),
+                    "n": pa.array(ends - starts, type=pa.int64()),
+                    "mn": pa.array(np.minimum.reduceat(vv, starts), type=pa.int64()),
+                    "sm": pa.array(np.add.reduceat(vv, starts), type=pa.int64()),
+                }
+            )
+
+        got = (
+            sorted_runs_fold(ds, "k", combine, rows_per_block=rpb)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        exp = (
+            pd.DataFrame({"k": k, "v": v})
+            .groupby("k", as_index=False)
+            .agg(n=("v", "size"), mn=("v", "min"), sm=("v", "sum"))
+            .astype(np.int64)
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        # fold emitted each key exactly once ⇒ no key straddled blocks
+        assert got["k"].is_unique
