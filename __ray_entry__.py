@@ -443,6 +443,7 @@ _DRIVER_PRIORITY = [
     "text_normalize",
     "events_user_journey",
     "csv_source",
+    "word_topk_mg",
     "dedup_substr",
     "orders_global_rank",
     "docs_stratified_split",

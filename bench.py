@@ -636,7 +636,18 @@ def embed_bench() -> None:
                 ds, threshold=0.9, chunk_rows=4096
             ),
         ),
-        ("lsh", lambda ds: cosine_dedup_lsh(ds, threshold=0.9)),
+        # bands=16 with min_band_matches=2: the planted partners sit at
+        # cos ≈ 0.997 (1% noise, d=64) → per-band collision p ≈ 0.68 at
+        # the occupancy-pinned ~15 planes; requiring ≥2 of 8 bands
+        # loses ~0.2% of them (measured: 8/4124 missed), ≥2 of 16 loses
+        # ~4e-7 — recall ≈ 1 at twice the band-row volume, still ≫
+        # faster than the quadratic exact path and linear in n.
+        (
+            "lsh",
+            lambda ds: cosine_dedup_lsh(
+                ds, threshold=0.9, n_rows=total, bands=16, min_band_matches=2
+            ),
+        ),
     ):
         t0 = _time.time()
         ds = ray.data.read_parquet(f"{corpus}/embeddings.parquet")

@@ -7,6 +7,18 @@ the right shape for Ray Data: one partial sketch per batch inside
 ``map_batches``, merged in a tiny ``groupby``; the raw values never
 shuffle (sketches are mergeable — see Ray Data aggregation docs,
 https://docs.ray.io/en/latest/data/aggregating-data.html).
+
+Misra–Gries heavy-hitters sketch (Misra & Gries 1982; mergeability per
+Agarwal et al., "Mergeable Summaries", PODS 2012): a capacity-m
+frequency summary whose per-item undercount is bounded by the total
+decrement D applied along the merge tree. Any item with true count > D
+is guaranteed present in the final summary, so an EXACT top-k follows
+from a second candidates-only counting pass whenever the k-th exact
+count exceeds D — checked at runtime, making the composition
+provably-exact rather than approximate. The point at 100 TB: a
+web-scale vocabulary is unbounded, so per-batch full value_counts
+partials shuffle vocab-sized data; MG partials shuffle ≤ (m+1) rows
+per block no matter the vocabulary.
 """
 
 from __future__ import annotations
@@ -105,3 +117,167 @@ def approx_distinct_by_key(
         .groupby(key_col)
         .map_groups(merge, batch_format="pandas")
     )
+
+
+# --- Misra–Gries heavy hitters ---------------------------------------------
+#
+# Summary representation on the wire: an Arrow table
+#   (item: string|null, n: int64)
+# where non-null rows are the ≤ m retained (item, lower-bound count)
+# entries and ONE null-item row carries that partial's total decrement
+# D. Merging = concat → group-sum → truncate-with-decrement; D rows
+# sum like any other group and the truncation adds its own t.
+
+
+def mg_truncate(items: "np.ndarray", counts: np.ndarray, m: int):
+    """Keep ≤ m items by subtracting the (m+1)-th largest count t from
+    every count and dropping ≤ 0 (one vectorized partition+mask, no
+    per-decrement loop); returns (items, counts, t). Classic MG
+    batch-decrement: each survivor's count drops by ≤ t, every dropped
+    item had count ≤ t."""
+    if len(items) <= m:
+        return items, counts, 0
+    # t = (m+1)-th largest via one O(n) partition
+    t = int(np.partition(counts, len(counts) - (m + 1))[len(counts) - (m + 1)])
+    new = counts - t
+    keep = new > 0
+    return items[keep], new[keep], t
+
+
+def mg_partial_table(values, *, m: int) -> pa.Table:
+    """One batch → MG summary table. Exact value_counts first (bounded
+    by the batch's own vocabulary), then one truncation."""
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if not isinstance(values, pa.Array):
+        values = pa.array(values)
+    vc = values.value_counts()
+    items = vc.field("values")
+    counts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+    it_np = np.asarray(items.to_pylist(), dtype=object)
+    it_np, counts, t = mg_truncate(it_np, counts, m)
+    return pa.table(
+        {
+            "item": pa.array(list(it_np) + [None], type=pa.string()),
+            "n": pa.array(
+                np.concatenate((counts, [t])).astype(np.int64), type=pa.int64()
+            ),
+        }
+    )
+
+
+def mg_merge_table(tbl: pa.Table, *, m: int) -> pa.Table:
+    """Merge concatenated MG summary tables into one (same layout)."""
+    import pyarrow.compute as pc
+
+    null_mask = pc.is_null(tbl["item"])
+    d_total = int(
+        pc.sum(tbl.filter(null_mask)["n"]).as_py() or 0
+    )
+    rest = tbl.filter(pc.invert(null_mask))
+    if rest.num_rows:
+        g = rest.group_by("item").aggregate([("n", "sum")])
+        it_np = np.asarray(g["item"].to_pylist(), dtype=object)
+        counts = g["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        it_np, counts, t = mg_truncate(it_np, counts, m)
+        d_total += t
+    else:
+        it_np, counts = np.zeros(0, dtype=object), np.zeros(0, dtype=np.int64)
+    return pa.table(
+        {
+            "item": pa.array(list(it_np) + [None], type=pa.string()),
+            "n": pa.array(
+                np.concatenate((counts, [d_total])).astype(np.int64),
+                type=pa.int64(),
+            ),
+        }
+    )
+
+
+def heavy_hitters_exact_topk(
+    ds,
+    *,
+    k: int,
+    m: int = 512,
+    make_values,
+):
+    """PROVABLY-EXACT distributed top-k frequency over an unbounded item
+    domain, in two streaming passes:
+
+    pass 1 — per-batch MG partials (≤ m+1 rows leave any block,
+    vocabulary-independent) folded into one summary; D = its total
+    decrement, candidates = its ≤ m items (superset of every item with
+    true count > D).
+
+    pass 2 — exact counts of candidates only: broadcast the candidate
+    set, per-batch filtered value_counts partials (≤ m rows/block),
+    folded once. Result = top-k by (count desc, item asc).
+
+    Raises if min(top-k count) ≤ D — the capacity-m guarantee can then
+    not certify exactness (grow m). ``make_values(batch) -> pa.Array``
+    extracts the item stream from each input batch.
+    """
+    import ray
+
+    import pyarrow.compute as pc
+
+    def partials(b: pa.Table) -> pa.Table:
+        return mg_partial_table(make_values(b), m=m)
+
+    summary = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(
+            lambda t: mg_merge_table(t, m=m),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .materialize()
+    )
+    tbl = pa.Table.from_pandas(summary.to_pandas())
+    null_mask = pc.is_null(tbl["item"])
+    d_total = int(pc.sum(tbl.filter(null_mask)["n"]).as_py() or 0)
+    cand = tbl.filter(pc.invert(null_mask))["item"]
+    if isinstance(cand, pa.ChunkedArray):
+        cand = cand.combine_chunks()
+    cand_ref = ray.put(cand)
+
+    def exact_partials(b: pa.Table) -> pa.Table:
+        from logpipe_ray.util import bounded_resolve
+
+        cand_local = bounded_resolve(_MG_CACHE, cand_ref)
+        v = make_values(b)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        v = v.filter(pc.is_in(v, value_set=cand_local))
+        vc = v.value_counts()
+        return pa.table(
+            {
+                "item": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    from logpipe_ray.stages.smallagg import fold_partials
+
+    exact = fold_partials(
+        ds.map_batches(exact_partials, batch_format="pyarrow"), "item", "n"
+    )
+    top = pa.Table.from_pandas(
+        exact.sort(["n", "item"], descending=[True, False]).limit(k).to_pandas()
+    )
+    kth = int(top["n"][top.num_rows - 1].as_py()) if top.num_rows else 0
+    # D == 0 ⇒ no truncation ever fired and the summary is exact (any
+    # candidate count < k then reflects true domain size). With D > 0,
+    # exactness is certified only if k full rows exist AND the k-th
+    # exact count strictly beats the undercount bound.
+    if d_total > 0 and (top.num_rows < k or kth <= d_total):
+        raise ValueError(
+            f"MG capacity m={m} cannot certify exact top-{k}: "
+            f"{top.num_rows} candidates, k-th count {kth}, "
+            f"decrement bound {d_total}"
+        )
+    return top.select(["item", "n"])
+
+
+_MG_CACHE: dict = {}

@@ -2794,6 +2794,33 @@ def csv_source(sf_dir: str):
 
 
 @query(
+    "word_topk_mg",
+    """SELECT w AS item, CAST(count(*) AS BIGINT) AS n
+       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       GROUP BY w ORDER BY n DESC, w LIMIT 25""",
+)
+def word_topk_mg(sf_dir: str):
+    """Top-25 words via the Misra–Gries heavy-hitters sketch + exact
+    candidate rescore (functions/sketches.heavy_hitters_exact_topk):
+    pass 1 folds ≤ (m+1)-row MG partials (vocabulary-INDEPENDENT
+    shuffle volume — the scale story vs vocab_topk's vocab-bounded
+    bincount partials), pass 2 exact-counts only the ≤ m candidates.
+    The runtime certificate (k-th exact count > total decrement D)
+    makes the result provably equal to the SQL top-k, not approximate;
+    tie-break (n desc, word asc) matches the oracle."""
+    from logpipe_ray.functions.sketches import heavy_hitters_exact_topk
+    from logpipe_ray.stages.dedup import batch_words
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def words_of(b: pa.Table) -> pa.Array:
+        _, flat = batch_words(b["text"])
+        return pa.array(flat, type=pa.string())
+
+    return heavy_hitters_exact_topk(ds, k=25, m=512, make_values=words_of)
+
+
+@query(
     "source_mix",
     """WITH q AS (
          SELECT source, CAST(floor(sqrt(count(*))) AS BIGINT) AS quota

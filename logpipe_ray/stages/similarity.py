@@ -623,6 +623,9 @@ def cosine_dedup_lsh(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 11,
+    target_bucket_rows: int = 16,
+    n_rows: int | None = None,
+    min_band_matches: int = 1,
 ) -> ray.data.Dataset:
     """Sub-quadratic embedding-cosine near-dup removal — the SCALE path
     next to :func:`cosine_dedup_distributed` (whose chunk-pair work
@@ -642,9 +645,37 @@ def cosine_dedup_lsh(
     Recall is probabilistic (per-band collision P = (1-θ/π)^n_planes;
     miss P = (1-p)^bands — measured vs the exact path in tests);
     precision is exact (every emitted removal is cosine-verified).
+
+    ``n_planes`` is a FLOOR, not the operative value: the plane count
+    is raised to ceil(log2(n_rows / target_bucket_rows)) so mean bucket
+    occupancy stays ~constant as the corpus grows — per-bucket pair
+    generation is quadratic in occupancy, so a FIXED plane count makes
+    total candidate pairs quadratic in n (measured: the 12-plane
+    default ground for 20+ min at 400k vectors where 100k took
+    seconds); with occupancy pinned, expected pairs grow ~linearly.
+    The cost is lower per-band recall for borderline-θ pairs (the
+    standard LSH tradeoff — raise ``bands`` to compensate); true
+    near-dups (cos → 1) are insensitive. ``n_rows`` skips the count
+    when the caller already knows it.
+
+    ``min_band_matches``: candidate pairs must collide in at least this
+    many bands before the exact verify. Random bucket collisions are
+    overwhelmingly single-band (P(≥2) ≈ C(bands,2)·p² for tiny p), so
+    2 cuts the verify input by orders of magnitude (measured at 400k
+    vectors: the ≥1 pair set was ~19M rows and its verify joins took
+    500 s; see BASELINE.md), while a true near-dup (per-band p → 1)
+    still collides in ~every band. Default 1 preserves the widest-net
+    semantics for borderline-θ workloads.
     """
+    import math
+
     from logpipe_ray.pipelines.dedup_pipeline import pairs_from_sorted_runs
     from logpipe_ray.stages.smallagg import count_partials, fold_partials
+
+    if n_rows is None:
+        n_rows = ds.count()
+    occ_planes = math.ceil(math.log2(max(2.0, n_rows / max(1, target_bucket_rows))))
+    n_planes = min(62, max(n_planes, occ_planes))
 
     def explode(b: pa.Table) -> pa.Table:
         mat = _normalize(_matrix(b[vec_col]))
@@ -675,49 +706,109 @@ def cosine_dedup_lsh(
         ["doc_a", "doc_b"],
         "n_bands",
     )
-    cand_pairs: list[tuple[int, int]] = []
-    cand_ids: set[int] = set()
-    for b in pairs.iter_batches(batch_format="pyarrow", batch_size=65536):
-        a = b["doc_a"].to_pylist()
-        c = b["doc_b"].to_pylist()
-        cand_pairs.extend(zip(a, c))
-        cand_ids.update(a)
-        cand_ids.update(c)
-
-    # exact-cosine verify: candidate vectors gathered distributed
-    # (filter inside map_batches), then one vectorized row-wise dot
-    ids_ref = ray.put(np.fromiter(cand_ids, dtype=np.int64, count=len(cand_ids)))
-
-    def gather(b: pa.Table) -> pa.Table:
-        want = ray.get(ids_ref)
-        ids = pa.compute.cast(b[id_col], pa.int64()).to_numpy(zero_copy_only=False)
-        mask = np.isin(ids, want)
-        sub = b.filter(pa.array(mask))
-        mat = _normalize(_matrix(sub[vec_col])).astype(np.float32)
-        return pa.table(
-            {
-                "vid": pa.compute.cast(sub[id_col], pa.int64()),
-                "vec": pa.array([m.tobytes() for m in mat], type=pa.binary()),
-            }
+    if min_band_matches > 1:
+        pairs = pairs.map_batches(
+            lambda b: b.filter(
+                pa.compute.greater_equal(b["n_bands"], min_band_matches)
+            ),
+            batch_format="pyarrow",
         )
+    # materialized: consumed by count() AND both verify joins — without
+    # this the whole candidate-generation pipeline re-executes per
+    # consumer; the pair set is the same result-proportional bound the
+    # text pipeline materializes (band rows there)
+    pairs = pairs.materialize()
+    # DISTRIBUTED exact-cosine verify: the candidate list is
+    # (dup + random-collision)-proportional — linear in n but with a
+    # ~bands·occupancy/2 constant, far too big to materialize on the
+    # driver (measured: a driver-side dict verify took 15 min / 22 GB
+    # at 400k vectors where the pipeline itself took 40 s). Join the
+    # pair rows with the normalized vectors twice (once per endpoint,
+    # fp32 fixed-size-list payload), score per batch, and reduce to
+    # the removal-id set — the ONLY driver materialization left is the
+    # result-sized removal set.
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        removed_arr = np.zeros(0, dtype=np.int64)
+    else:
+        from logpipe_ray.stages.joins import hash_join
 
-    vecs: dict[int, np.ndarray] = {}
-    for b in ds.map_batches(gather, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow", batch_size=65536
-    ):
-        for vid, raw in zip(b["vid"].to_pylist(), b["vec"].to_pylist()):
-            vecs[vid] = np.frombuffer(raw, dtype=np.float32)
+        def vec_rows(b: pa.Table) -> pa.Table:
+            # payload as binary, not fixed_size_list: acero joins reject
+            # nested non-key fields ("not supported in join non-key
+            # field"); uniform-width binary decodes back zero-copy
+            mat = _normalize(_matrix(b[vec_col])).astype(np.float32)
+            width = 4 * mat.shape[1]
+            n = mat.shape[0]
+            flat = pa.py_buffer(np.ascontiguousarray(mat).tobytes())
+            offs = pa.array(
+                np.arange(0, (n + 1) * width, width, dtype=np.int32)
+            )
+            vec = pa.BinaryArray.from_buffers(
+                pa.binary(), n, [None, offs.buffers()[1], flat]
+            )
+            return pa.table(
+                {"vid": pa.compute.cast(b[id_col], pa.int64()), "vec": vec}
+            )
 
-    removed: set[int] = set()
-    if cand_pairs:
-        a_mat = np.stack([vecs[a] for a, _ in cand_pairs])
-        b_mat = np.stack([vecs[b] for _, b in cand_pairs])
-        cos = np.einsum("ij,ij->i", a_mat, b_mat)
-        for (a, b), c in zip(cand_pairs, cos):
-            if c >= threshold:
-                removed.add(max(a, b))
+        vecs_ds = ds.map_batches(vec_rows, batch_format="pyarrow")
+        j = hash_join(
+            pairs.select_columns(["doc_a", "doc_b"]),
+            vecs_ds,
+            on="doc_a",
+            right_on="vid",
+            small_rows=n_pairs,
+        ).map_batches(
+            lambda b: b.rename_columns(
+                ["vec_a" if c == "vec" else c for c in b.column_names]
+            ),
+            batch_format="pyarrow",
+        )
+        j = hash_join(j, vecs_ds, on="doc_b", right_on="vid", small_rows=n_pairs)
 
-    removed_ref = ray.put(np.fromiter(removed, dtype=np.int64, count=len(removed)))
+        def decode(col) -> np.ndarray:
+            arr = col.combine_chunks()
+            off_all = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+            off = off_all[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+            buf = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+            widths = np.diff(off)
+            w = int(widths[0]) if len(widths) else 0
+            if len(widths) and np.all(widths == w):
+                return (
+                    buf[off[0] : off[-1]]
+                    .view(np.float32)
+                    .reshape(-1, w // 4)
+                )
+            return np.vstack(
+                [np.frombuffer(x, dtype=np.float32) for x in arr.to_pylist()]
+            )
+
+        def score(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({"rm": pa.array([], type=pa.int64())})
+            va = decode(b["vec_a"])
+            vb = decode(b["vec_b"])
+            cos = np.einsum("ij,ij->i", va, vb)
+            hit = cos >= threshold
+            a_ids = b["doc_a"].combine_chunks().to_numpy(zero_copy_only=False)
+            b_ids = b["doc_b"].combine_chunks().to_numpy(zero_copy_only=False)
+            rm = np.unique(np.maximum(a_ids[hit], b_ids[hit]))
+            return pa.table({"rm": pa.array(rm, type=pa.int64())})
+
+        scored = j.map_batches(
+            lambda b: score(
+                b.rename_columns(
+                    ["vec_b" if c == "vec" else c for c in b.column_names]
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        # unique() yields None when every scored block is empty (no
+        # pair met the threshold)
+        uniq = scored.unique("rm") or []
+        removed_arr = np.asarray(sorted(uniq), dtype=np.int64)
+
+    removed_ref = ray.put(removed_arr)
 
     def keep(b: pa.Table) -> pa.Table:
         gone = ray.get(removed_ref)
