@@ -444,6 +444,7 @@ _DRIVER_PRIORITY = [
     "events_user_journey",
     "csv_source",
     "word_topk_mg",
+    "tail_dedup_ingest",
     "dedup_substr",
     "orders_global_rank",
     "docs_stratified_split",

@@ -2794,6 +2794,228 @@ def csv_source(sf_dir: str):
 
 
 @query(
+    "tail_dedup_ingest",
+    """WITH appended AS (
+         SELECT source, text FROM documents
+         UNION ALL
+         SELECT source, text FROM documents WHERE doc_id % 7 = 3
+       )
+       SELECT source,
+              CAST(count(*) AS BIGINT) AS n_seen,
+              CAST(count(DISTINCT text) AS BIGINT) AS n_ingested
+       FROM appended GROUP BY source""",
+)
+def tail_dedup_ingest(sf_dir: str):
+    """The reference's core loop end-to-end, batch-restated: incremental
+    tail-follow → dedup against all previously ingested content → routed
+    append → offset commit, over TWO ingest ticks. Tick 2 re-appends
+    every doc_id%7==3 line (re-sent log content), which the
+    corpus-state dedup must drop while tick-internal duplicate texts
+    dedupe first-wins.
+
+    Scale shape per tick: membership = ONE keyed shuffle of per-batch
+    (source, text_hash) partials unioned with the hash-state rows (the
+    same corpus-never-broadcast design as dedup_incremental — state
+    grows with the corpus, the shuffle carries only partial rows);
+    per-source counters fold from the same aggregate, no second corpus
+    pass. The only driver materialization is sources-dimension counts.
+    """
+    import os
+    import tempfile
+
+    import numpy as np
+    import pyarrow.parquet as _pq
+    from ray.data.aggregate import Min
+
+    from logpipe_ray.sources.stream import DirectoryTailSource
+    from logpipe_ray.stages.dedup import add_text_hash
+
+    d = tempfile.mkdtemp(prefix="lpr_ingest_")
+    logs, hstate, outd = f"{d}/logs", f"{d}/hashstate", f"{d}/out"
+    for p in (logs, hstate, outd):
+        os.makedirs(p, exist_ok=True)
+
+    t = (
+        _pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+        ).sort_by("doc_id")
+    )
+    rows = list(
+        zip(t["doc_id"].to_pylist(), t["source"].to_pylist(), t["text"].to_pylist())
+    )
+
+    def append_lines(sel):
+        by: dict[str, list[str]] = {}
+        for _id, src, text in sel:
+            by.setdefault(src, []).append(text)
+        for src, lines in by.items():
+            with open(f"{logs}/{src}.log", "a") as f:
+                f.write("".join(x + "\n" for x in lines))
+
+    src_obj = DirectoryTailSource(logs, f"{d}/_tailstate", include=["*.log"])
+    totals: dict[str, list[int]] = {}  # source -> [n_seen, n_ingested]
+
+    def tick(i: int) -> None:
+        new = src_obj.read()
+
+        part_schema = pa.schema(
+            [
+                ("source", pa.string()),
+                ("text_hash", pa.int64()),
+                ("corpus_n", pa.int64()),
+                ("new_n", pa.int64()),
+                ("text", pa.string()),
+            ]
+        )
+
+        def prep(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return part_schema.empty_table()
+            src = pc.replace_substring(b["source"], ".log", "")
+            b2 = add_text_hash(
+                pa.table({"source": src, "text": b["line"]})
+            )
+            t2 = pa.table(
+                {
+                    "source": b2["source"],
+                    "text_hash": b2["text_hash"],
+                    "corpus_n": pa.array(
+                        np.zeros(b2.num_rows, dtype=np.int64)
+                    ),
+                    "new_n": pa.array(np.ones(b2.num_rows, dtype=np.int64)),
+                    "text": b2["text"],
+                }
+            )
+            g = t2.group_by(["source", "text_hash"]).aggregate(
+                [("corpus_n", "sum"), ("new_n", "sum"), ("text", "min")]
+            )
+            g = g.rename_columns(
+                [
+                    c.removesuffix("_sum").removesuffix("_min")
+                    for c in g.column_names
+                ]
+            )
+            return g.select(part_schema.names)
+
+        parts = new.map_batches(prep, batch_format="pyarrow")
+        state_files = sorted(
+            os.path.join(hstate, f) for f in os.listdir(hstate)
+        )
+        if state_files:
+
+            def as_state(b: pa.Table) -> pa.Table:
+                n = b.num_rows
+                return pa.table(
+                    {
+                        "source": b["source"],
+                        "text_hash": b["text_hash"],
+                        "corpus_n": pa.array(np.ones(n, dtype=np.int64)),
+                        "new_n": pa.array(np.zeros(n, dtype=np.int64)),
+                        "text": pa.array([None] * n, type=pa.string()),
+                    }
+                )
+
+            parts = parts.union(
+                ray.data.read_parquet(state_files).map_batches(
+                    as_state, batch_format="pyarrow"
+                )
+            )
+
+        agg = parts.groupby(["source", "text_hash"]).aggregate(
+            Sum("corpus_n", alias_name="corpus_n"),
+            Sum("new_n", alias_name="new_n"),
+            Min("text", alias_name="text"),
+        )
+
+        def finalize(b: pa.Table) -> pa.Table:
+            keep = pc.and_(
+                pc.equal(b["corpus_n"], 0), pc.greater(b["new_n"], 0)
+            )
+            kept = b.filter(keep)
+            return pa.table(
+                {
+                    "source": kept["source"],
+                    "text_hash": pc.cast(kept["text_hash"], pa.int64()),
+                    "text": kept["text"],
+                    "n_seen_part": pc.cast(kept["new_n"], pa.int64()),
+                }
+            )
+
+        survivors = agg.map_batches(finalize, batch_format="pyarrow")
+        # routed append of the ingested lines + state append, one pass;
+        # counter partials fold exactly like the flagship writer's
+        from logpipe_ray.stages.route import write_routed_batch
+
+        tick_dir = os.path.join(outd, f"tick{i}")
+        counted = survivors.map_batches(
+            lambda b: write_routed_batch(
+                b,
+                out_dir=tick_dir,
+                sink_col="source",
+                source_col="source",
+                n_tok_col="n_seen_part",
+                id_col="text_hash",
+                drop_cols=(),
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()
+        # seen counts include dropped dups: fold new_n over ALL groups
+        seen_tbl = (
+            agg.map_batches(
+                lambda b: pa.table(
+                    {"source": b["source"], "n": pc.cast(b["new_n"], pa.int64())}
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("source")
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas()
+        )
+        for _, r in seen_tbl.iterrows():
+            totals.setdefault(r["source"], [0, 0])[0] += int(r["n"])
+        if len(counted):  # a tick may ingest nothing (all dups)
+            for _, r in (
+                counted.groupby("source", as_index=False)["n_rows"].sum().iterrows()
+            ):
+                totals.setdefault(r["source"], [0, 0])[1] += int(r["n_rows"])
+        # persist the tick's new hashes as corpus state
+        new_hashes = pa.table(
+            {
+                "source": pa.array(
+                    [], type=pa.string()
+                ),
+                "text_hash": pa.array([], type=pa.int64()),
+            }
+        )
+        surv_files = []
+        for root, _dirs, files in os.walk(tick_dir):
+            surv_files += [
+                os.path.join(root, f) for f in files if f.endswith(".parquet")
+            ]
+        if surv_files:
+            st = _pq.read_table(surv_files, columns=["source", "text_hash"])
+            new_hashes = st
+        _pq.write_table(new_hashes, os.path.join(hstate, f"tick-{i}.parquet"))
+        src_obj.commit()
+
+    append_lines(rows)
+    tick(1)
+    append_lines([r for r in rows if r[0] % 7 == 3])
+    tick(2)
+
+    srcs = sorted(totals)
+    return pa.table(
+        {
+            "source": pa.array(srcs, type=pa.string()),
+            "n_seen": pa.array([totals[s][0] for s in srcs], type=pa.int64()),
+            "n_ingested": pa.array(
+                [totals[s][1] for s in srcs], type=pa.int64()
+            ),
+        }
+    )
+
+
+@query(
     "word_topk_mg",
     """SELECT w AS item, CAST(count(*) AS BIGINT) AS n
        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
