@@ -2921,10 +2921,17 @@ def tail_dedup_ingest(sf_dir: str):
                 )
             )
 
-        agg = parts.groupby(["source", "text_hash"]).aggregate(
-            Sum("corpus_n", alias_name="corpus_n"),
-            Sum("new_n", alias_name="new_n"),
-            Min("text", alias_name="text"),
+        agg = (
+            parts.groupby(["source", "text_hash"])
+            .aggregate(
+                Sum("corpus_n", alias_name="corpus_n"),
+                Sum("new_n", alias_name="new_n"),
+                Min("text", alias_name="text"),
+            )
+            # two consumers (survivors + seen counters) — without this
+            # the tail byte reads, hashing, state read and keyed shuffle
+            # all re-execute per consumer
+            .materialize()
         )
 
         def finalize(b: pa.Table) -> pa.Table:

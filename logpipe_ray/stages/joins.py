@@ -217,6 +217,11 @@ class BroadcastRangeJoiner:
             out_schema = out_schema.append(ranges.schema.field(n))
         disjoint, los, his = self._resolve_plan(ranges)
         v = batch[self.value_col]
+        if ranges.num_rows == 0:
+            # vacuously "disjoint" (np.all over empty is True) but the
+            # fast path would index the empty his array — zero intervals
+            # simply match nothing
+            return out_schema.empty_table()
         if disjoint:
             vn = v.combine_chunks().to_numpy(zero_copy_only=False)
             idx = np.searchsorted(los, vn, side="right") - 1

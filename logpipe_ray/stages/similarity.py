@@ -733,10 +733,46 @@ def cosine_dedup_lsh(
     else:
         from logpipe_ray.stages.joins import hash_join
 
+        # endpoint-id pre-filter: without it the joins hash-shuffle the
+        # ENTIRE corpus's vector payload (twice); the distinct endpoint
+        # set is candidate-proportional and only int64 ids touch the
+        # driver (the old driver-side verify collected the VECTORS)
+        def endpoints(b: pa.Table) -> pa.Table:
+            ids = np.unique(
+                np.concatenate(
+                    (
+                        b["doc_a"].combine_chunks().to_numpy(zero_copy_only=False),
+                        b["doc_b"].combine_chunks().to_numpy(zero_copy_only=False),
+                    )
+                )
+            )
+            return pa.table({"vid": pa.array(ids, type=pa.int64())})
+
+        end_ids = np.asarray(
+            sorted(
+                pairs.map_batches(endpoints, batch_format="pyarrow").unique("vid")
+                or []
+            ),
+            dtype=np.int64,
+        )
+        end_ref = ray.put(end_ids)
+
         def vec_rows(b: pa.Table) -> pa.Table:
             # payload as binary, not fixed_size_list: acero joins reject
             # nested non-key fields ("not supported in join non-key
             # field"); uniform-width binary decodes back zero-copy
+            want = ray.get(end_ref)
+            ids_np = pa.compute.cast(b[id_col], pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            b = b.filter(pa.array(np.isin(ids_np, want)))
+            if b.num_rows == 0:
+                return pa.table(
+                    {
+                        "vid": pa.array([], type=pa.int64()),
+                        "vec": pa.array([], type=pa.binary()),
+                    }
+                )
             mat = _normalize(_matrix(b[vec_col])).astype(np.float32)
             width = 4 * mat.shape[1]
             n = mat.shape[0]
@@ -751,7 +787,8 @@ def cosine_dedup_lsh(
                 {"vid": pa.compute.cast(b[id_col], pa.int64()), "vec": vec}
             )
 
-        vecs_ds = ds.map_batches(vec_rows, batch_format="pyarrow")
+        # materialized: two join consumers — candidate-proportional size
+        vecs_ds = ds.map_batches(vec_rows, batch_format="pyarrow").materialize()
         j = hash_join(
             pairs.select_columns(["doc_a", "doc_b"]),
             vecs_ds,

@@ -85,6 +85,20 @@ def test_broadcast_range_join_disjoint_fast_path_matches_general():
         assert (int(i) in matched) == (0 <= v < 20 or 25 <= v < 30)
 
 
+def test_broadcast_range_join_empty_intervals_matches_nothing():
+    import ray as _ray
+
+    from logpipe_ray.stages.joins import BroadcastRangeJoiner
+
+    empty = _tiers().slice(0, 0)
+    joiner = BroadcastRangeJoiner(_ray.put(empty), value_col="v")
+    out = joiner(
+        pa.table({"id": pa.array([1], pa.int64()), "v": pa.array([5], pa.int64())})
+    )
+    assert out.num_rows == 0
+    assert out.column_names == ["id", "v", "tier"]
+
+
 def test_band_join_count_boundaries_and_zero_matches():
     # delta=10; left at t=100 with rights at 90 and 110 (both inclusive),
     # 89 and 111 (both out); a second left with NO rights at all; a third
