@@ -883,3 +883,109 @@ def topk_cosine_pairs(
             "vec_b": pa.array([r[2] for r in rows], type=pa.int64()),
         }
     )
+
+
+def semantic_cluster_dedup(
+    ds: ray.data.Dataset,
+    *,
+    threshold: float = 0.9,
+    n_clusters: int = 64,
+    sample_limit: int = 8192,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", arXiv:2303.09540):
+    k-means-cluster the embedding space, then remove near-duplicates
+    only WITHIN each cluster — quadratic work drops from n² to
+    Σ m_cluster², and clusters process independently.
+
+    Survivor rule matches :func:`cosine_dedup_distributed`: a vector is
+    removed iff some LOWER-id vector in its cluster has cosine ≥
+    threshold (min id of a duplicate set survives).
+
+    Scale shape: centroids from a bounded driver-side sample
+    (broadcast once); assignment is one matmul per batch; co-location
+    is ONE volume-bounded range sort on the cluster id
+    (stages/smallagg.sorted_runs_fold — a cluster's rows land in one
+    block); each run scores an fp32 gram matrix and emits ONLY removal
+    ids. At web scale pick ``n_clusters ∝ n`` so the per-cluster m²
+    matrix stays bounded (the paper runs ~10⁵ clusters); misses are
+    exactly the dup pairs whose endpoints straddle a cluster boundary —
+    the SemDeDup tradeoff (near-identical points share an argmax
+    centroid almost surely).
+    """
+    from logpipe_ray.stages.smallagg import sorted_runs_fold
+
+    sample_tbl = pa.concat_tables(
+        ray.get(ds.limit(sample_limit).to_arrow_refs())
+    )
+    cents = kmeans_centroids(_matrix(sample_tbl[vec_col]), n_clusters)
+    cents_ref = ray.put(cents.astype(np.float32))
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        mat = _normalize(_matrix(b[vec_col])).astype(np.float32)
+        cl = np.argmax(mat @ c.T, axis=1).astype(np.int64)
+        width = 4 * mat.shape[1]
+        n = mat.shape[0]
+        offs = pa.array(np.arange(0, (n + 1) * width, width, dtype=np.int32))
+        vec = pa.BinaryArray.from_buffers(
+            pa.binary(),
+            n,
+            [None, offs.buffers()[1], pa.py_buffer(np.ascontiguousarray(mat).tobytes())],
+        )
+        return pa.table(
+            {
+                "cluster": pa.array(cl),
+                "vid": pa.compute.cast(b[id_col], pa.int64()),
+                "vec": vec,
+            }
+        )
+
+    tagged = ds.map_batches(assign, batch_format="pyarrow")
+
+    rm_schema = pa.schema([("rm", pa.int64())])
+
+    def per_cluster(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return rm_schema.empty_table()
+        cl = b["cluster"].combine_chunks().to_numpy(zero_copy_only=False)
+        vid = b["vid"].combine_chunks().to_numpy(zero_copy_only=False)
+        arr = b["vec"].combine_chunks()
+        off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+            arr.offset : arr.offset + len(arr) + 1
+        ].astype(np.int64)
+        buf = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        w = int(off[1] - off[0]) if len(off) > 1 else 0
+        mat = buf[off[0] : off[-1]].view(np.float32).reshape(-1, max(w, 4) // 4)
+        out: list[np.ndarray] = []
+        starts = np.concatenate(([0], np.flatnonzero(cl[1:] != cl[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [len(cl)]))
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            order = np.argsort(vid[s:e], kind="stable")
+            ids = vid[s:e][order]
+            m = mat[s:e][order]
+            sims = m @ m.T
+            hit = np.triu(sims >= threshold, k=1)  # i<j in id order
+            dup = hit.any(axis=0)
+            if dup.any():
+                out.append(ids[dup])
+        if not out:
+            return rm_schema.empty_table()
+        return pa.table(
+            {"rm": pa.array(np.unique(np.concatenate(out)), type=pa.int64())}
+        )
+
+    rm_ds = sorted_runs_fold(tagged, "cluster", per_cluster, rows_per_block=262144)
+    removed = np.asarray(sorted(rm_ds.unique("rm") or []), dtype=np.int64)
+    removed_ref = ray.put(removed)
+
+    def keep(b: pa.Table) -> pa.Table:
+        gone = ray.get(removed_ref)
+        ids = pa.compute.cast(b[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(~np.isin(ids, gone)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -1,0 +1,85 @@
+"""SemDeDup-style cluster-then-dedup (stages/similarity.semantic_cluster_dedup):
+planted-partner removal exactness, agreement with the global exact path,
+and the no-duplicates identity."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from logpipe_ray.stages.similarity import (
+    cosine_dedup_distributed,
+    semantic_cluster_dedup,
+)
+
+
+def _corpus(n=4000, d=32, every=50, seed=23):
+    rng = np.random.RandomState(seed)
+    base = rng.randn(n, d).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    planted = np.arange(0, n, every)
+    partners = base[planted] + 0.005 * rng.randn(len(planted), d).astype(np.float32)
+    ids = np.concatenate([np.arange(n), planted + n]).astype(np.int64)
+    mat = np.concatenate([base, partners])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array(
+                [r.tolist() for r in mat], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    return tbl, n, set((planted + n).tolist())
+
+
+def _survivors(ds) -> set:
+    out = set()
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+        out.update(b["vec_id"].to_pylist())
+    return out
+
+
+def test_semdedup_removes_planted_no_false_removals(ray_session):
+    tbl, n, planted = _corpus()
+    ds = ray.data.from_arrow(tbl).repartition(8)
+    surv = _survivors(
+        semantic_cluster_dedup(ds, threshold=0.9, n_clusters=16)
+    )
+    # precision is absolute: no base vector may ever be removed
+    assert set(range(n)) <= surv
+    # recall is bounded by cluster-boundary straddles (the documented
+    # SemDeDup miss mode — observed: 1 of 80 partners lands in a
+    # different argmax cell than its base); require ≥ 95%
+    missed = surv & planted
+    assert len(missed) <= max(1, len(planted) // 20), sorted(missed)
+
+
+def test_semdedup_subset_of_global_exact(ray_session):
+    # within-cluster dedup can only remove a SUBSET of what the global
+    # exact path removes (it sees a subset of the pairs), and misses
+    # only cluster-boundary straddles — so global survivors ⊆ sem
+    # survivors, with a bounded gap
+    tbl, n, _ = _corpus(n=2500, every=40, seed=5)
+    ds1 = ray.data.from_arrow(tbl).repartition(6)
+    ds2 = ray.data.from_arrow(tbl).repartition(6)
+    sem = _survivors(semantic_cluster_dedup(ds1, threshold=0.9, n_clusters=12))
+    glob = _survivors(
+        cosine_dedup_distributed(ds2, threshold=0.9, chunk_rows=512)
+    )
+    assert glob <= sem
+    assert len(sem - glob) <= max(1, (len(tbl) - len(glob)) // 20)
+
+
+def test_semdedup_no_dups_keeps_everything(ray_session):
+    rng = np.random.RandomState(3)
+    mat = rng.randn(1500, 24).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(1500, dtype=np.int64)),
+            "embedding": pa.array(
+                [r.tolist() for r in mat], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    surv = _survivors(semantic_cluster_dedup(ds, threshold=0.9, n_clusters=8))
+    assert surv == set(range(1500))
