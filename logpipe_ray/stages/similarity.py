@@ -194,6 +194,8 @@ def ann_knn_bucketed(
     multiprobe: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_rows: int | None = None,
+    target_bucket_rows: int = 1024,
 ) -> ray.data.Dataset:
     """ANN: only corpus rows whose LSH bucket matches some query bucket
     are scanned (bucket filter inside map_batches — a semi join against
@@ -204,8 +206,30 @@ def ann_knn_bucketed(
     fall just across a hyperplane land in an adjacent bucket, so probing
     them buys recall for (1 + n_planes choose ≤m)/2^n_planes of the scan
     cost, no re-hash of the corpus. Recall < 1 by construction; measured
-    vs brute force in tests."""
+    vs brute force in tests.
+
+    Passing ``n_rows`` opts into occupancy scaling: planes are raised to
+    ceil(log2(n_rows / target_bucket_rows)) so the SCORED set per query
+    stays ~target_bucket_rows × probed buckets as the corpus grows (at
+    fixed planes it grows linearly with n). The corpus filter pass is
+    O(n) either way — this bounds the matmul side, not the scan — and
+    more planes lower per-bucket recall, so raise ``multiprobe``
+    alongside (the standard LSH tradeoff; same policy and rationale as
+    :func:`cosine_dedup_lsh`). Default (``n_rows=None``) keeps the
+    caller's fixed ``n_planes`` exactly."""
+    import math
     from itertools import combinations
+
+    if n_rows is not None:
+        n_planes = min(
+            62,
+            max(
+                n_planes,
+                math.ceil(
+                    math.log2(max(2.0, n_rows / max(1, target_bucket_rows)))
+                ),
+            ),
+        )
 
     q_mat = _normalize(np.asarray(query_matrix, dtype=np.float64))
     q_buckets = set(hyperplane_signatures(q_mat, n_planes).tolist())

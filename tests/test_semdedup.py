@@ -83,3 +83,50 @@ def test_semdedup_no_dups_keeps_everything(ray_session):
     ds = ray.data.from_arrow(tbl).repartition(4)
     surv = _survivors(semantic_cluster_dedup(ds, threshold=0.9, n_clusters=8))
     assert surv == set(range(1500))
+
+
+def test_ann_occupancy_scaling_equivalence_and_recall(ray_session):
+    """ann_knn_bucketed(n_rows=...) raises planes to
+    ceil(log2(n/target)) — results must EQUAL the explicit-planes call
+    (same seed → same hyperplanes), and planted near-identical
+    neighbors must still be found at multiprobe=2."""
+    from logpipe_ray.stages.similarity import ann_knn_bucketed
+
+    rng = np.random.RandomState(17)
+    n, d = 30000, 16
+    base = rng.randn(n, d).astype(np.float32)
+    planted = np.arange(0, 400 * 50, 50)  # 400 queries' partners
+    partners = base[planted] + 0.003 * rng.randn(len(planted), d).astype(
+        np.float32
+    )
+    ids = np.concatenate([np.arange(n), planted + n]).astype(np.int64)
+    mat = np.concatenate([base, partners])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array(
+                [r.tolist() for r in mat], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    qids = [int(i) for i in planted[:40]]
+    qmat = base[planted[:40]]
+
+    def run(**kw):
+        ds = ray.data.from_arrow(tbl).repartition(6)
+        out = ann_knn_bucketed(ds, qids, qmat, k=3, multiprobe=2, **kw)
+        rows = sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"])
+            for b in out.iter_batches(batch_format="pyarrow", batch_size=65536)
+            for r in b.to_pylist()
+        )
+        return rows
+
+    # ceil(log2(30400 / 128)) = 8
+    scaled = run(n_planes=4, n_rows=len(ids), target_bucket_rows=128)
+    explicit = run(n_planes=8)
+    assert scaled == explicit
+    # rank-1 neighbor of query q must be its planted partner q+n
+    top1 = {q: nb for q, rk, nb in scaled if rk == 1}
+    hits = sum(1 for q in qids if top1.get(q) == q + n)
+    assert hits >= int(0.9 * len(qids)), f"{hits}/{len(qids)}"
