@@ -629,6 +629,13 @@ def embed_bench() -> None:
         "n_planted_dups": n_planted,
         "num_cpus": NUM_CPUS,
     }
+    # EMBED_VARIANTS=lsh (or exact, or exact,lsh — default both): at
+    # ≥1M vectors the exact chunk-pair path is quadratic by design and
+    # only re-proves the 400k crossover; the LSH curve is the one worth
+    # extending
+    variants = set(
+        os.environ.get("EMBED_VARIANTS", "exact,lsh").split(",")
+    )
     for name, fn in (
         (
             "exact",
@@ -649,6 +656,8 @@ def embed_bench() -> None:
             ),
         ),
     ):
+        if name not in variants:
+            continue
         t0 = _time.time()
         ds = ray.data.read_parquet(f"{corpus}/embeddings.parquet")
         survivors = fn(ds)
