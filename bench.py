@@ -578,14 +578,15 @@ def ensure_embed_corpus(n: int, d: int) -> tuple[str, int]:
     )
     ids = np.concatenate([np.arange(n), planted_ids + n]).astype(np.int64)
     mat = np.concatenate([base, partners])
-    tbl = pa.table(
-        {
-            "vec_id": pa.array(ids),
-            "embedding": pa.array(
-                [row.tolist() for row in mat], type=pa.list_(pa.float32())
-            ),
-        }
+    # vectorized list<float32> construction — the per-row .tolist()
+    # version took tens of minutes at 1M rows
+    offs = pa.array(
+        np.arange(0, (len(mat) + 1) * d, d, dtype=np.int32)
     )
+    emb = pa.ListArray.from_arrays(
+        offs, pa.array(np.ascontiguousarray(mat).reshape(-1), type=pa.float32())
+    )
+    tbl = pa.table({"vec_id": pa.array(ids), "embedding": emb})
     _pq.write_table(tbl, f"{cache}/embeddings.parquet", compression="zstd")
     with open(marker, "w") as f:
         json.dump({"n_planted": int(len(planted_ids))}, f)

@@ -694,7 +694,7 @@ def cosine_dedup_lsh(
     import math
 
     from logpipe_ray.pipelines.dedup_pipeline import pairs_from_sorted_runs
-    from logpipe_ray.stages.smallagg import count_partials, fold_partials
+    from logpipe_ray.stages.smallagg import sorted_runs_fold
 
     if n_rows is None:
         n_rows = ds.count()
@@ -724,11 +724,33 @@ def cosine_dedup_lsh(
     cand = band_rows.sort(["band_id", "band_hash"]).map_batches(
         pairs_from_sorted_runs, batch_format="pyarrow", batch_size=None
     )
-    # distributed pair dedupe, then collect the dup-proportional edges
-    pairs = fold_partials(
-        count_partials(cand, ["doc_a", "doc_b"], out_col="n_bands"),
-        ["doc_a", "doc_b"],
-        "n_bands",
+    # distributed pair dedupe: the raw pair stream is ~bands·occ/2 rows
+    # PER VECTOR — NOT bounded-cardinality, so fold_partials (which
+    # coalesces to one block) OOMs a worker at ~1M vectors; use the
+    # volume-bounded range-sort fold with a vectorized per-run count
+    # (same shape as dedup_pipeline.candidate_pairs)
+    nb_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("n_bands", pa.int64())]
+    )
+
+    def count_bands(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return nb_schema.empty_table()
+        a = b["doc_a"].combine_chunks().to_numpy(zero_copy_only=False)
+        bb = b["doc_b"].combine_chunks().to_numpy(zero_copy_only=False)
+        change = (a[1:] != a[:-1]) | (bb[1:] != bb[:-1])
+        starts = np.concatenate(([0], np.flatnonzero(change) + 1))
+        ends = np.concatenate((starts[1:], [len(a)]))
+        return pa.table(
+            {
+                "doc_a": pa.array(a[starts], type=pa.int64()),
+                "doc_b": pa.array(bb[starts], type=pa.int64()),
+                "n_bands": pa.array(ends - starts, type=pa.int64()),
+            }
+        )
+
+    pairs = sorted_runs_fold(
+        cand, ["doc_a", "doc_b"], count_bands, rows_per_block=1 << 21
     )
     if min_band_matches > 1:
         pairs = pairs.map_batches(
