@@ -907,9 +907,11 @@ def decontaminate_ngram(sf_dir: str):
         # uint64 hashes ride Arrow as reinterpreted int64 bits
         return pa.table({"h": pa.array(np.unique(h).view(np.int64))})
 
+    # unique() yields None (not []) when every block is empty — e.g. a
+    # corpus with no doc_id%50==0 docs of >=3 words (see CLAUDE.md)
     bench_hashes = (
         ds.map_batches(bench_partial, batch_format="pyarrow").unique("h")
-    )
+    ) or []
     bench_arr = np.array(bench_hashes, dtype=np.int64).view(np.uint64)
     bench_arr.sort()
     bench_ref = _ray.put(bench_arr)
@@ -3158,6 +3160,10 @@ def events_approx_quantile(sf_dir: str):
     ds = _read(sf_dir, "events", ["value"])
 
     def to_bucket(b: pa.Table) -> pa.Table:
+        # arrow pc.divide truncates toward zero while the oracle's
+        # DuckDB // floors — identical ONLY for non-negative values,
+        # which events.value is by construction (same precondition as
+        # _pc_mod / stages/rank.py; a negative value would mis-bucket)
         return pa.table({"bucket": pc.divide(_cents(b["value"]), 50)})
 
     folded = fold_partials(

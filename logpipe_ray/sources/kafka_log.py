@@ -18,9 +18,14 @@ semantics carried over faithfully:
 - **Partition = unit of parallelism and ordering**: each partition is
   tailed independently (one task set per partition); messages within a
   partition are delivered in offset order; no order across partitions.
-- **Offset = monotone int64 per partition**: ``segment_index << 32 |
+- **Offset = monotone int64 per partition**: ``segment_ordinal << 32 |
   line_no`` — opaque, strictly increasing within a partition, stable
   across reads (Kafka's offsets are equally opaque monotone ints).
+  The ordinal is assigned by the CONSUMER in first-seen order (new
+  segments sorted by name behind every previously-known one) and
+  persisted with the group state at ``commit()`` — segment FILE NAMES
+  are arbitrary (producers name segments by content hash), so deriving
+  the offset from the name would be neither monotone nor int64-safe.
 - **Commit-after-deliver**: ``read()`` returns everything after the
   last committed offsets and is repeatable until ``commit()`` — crash
   between the two re-reads the same increment (at-least-once into an
@@ -37,6 +42,8 @@ split (Arrow kernels, no per-message Python).
 
 from __future__ import annotations
 
+import fnmatch
+import json
 import os
 import re
 
@@ -56,17 +63,29 @@ MESSAGE_SCHEMA = pa.schema(
 )
 
 _PARTITION_RE = re.compile(r"^partition=(\d+)$")
-_SEGMENT_RE = r"^segment-(?P<seg>\d+)\.log$"
 
 
-def _to_messages(batch: pa.Table, partition: int) -> pa.Table:
-    """line rows (source=segment file, line_no, line) → message rows."""
+def _to_messages(
+    batch: pa.Table, partition: int, ordinals: dict[str, int]
+) -> pa.Table:
+    """line rows (source=segment file, line_no, line) → message rows.
+
+    ``ordinals`` maps segment basename → consumer-assigned ordinal (see
+    module doc); the lookup is a vectorized index_in/take, no Python per
+    row. A segment has at most 2^32 lines by the offset encoding (a
+    segment is one producer batch, or a fixture file — both far below)."""
     if batch.num_rows == 0:
         return MESSAGE_SCHEMA.empty_table()
-    seg = pc.cast(
-        pc.struct_field(pc.extract_regex(batch["source"], _SEGMENT_RE), "seg"),
-        pa.int64(),
-    )
+    names = pa.array(list(ordinals), type=pa.string())
+    ord_vals = pa.array(list(ordinals.values()), type=pa.int64())
+    idx = pc.index_in(batch["source"], value_set=names)
+    if pc.any(pc.is_null(idx)).as_py():
+        unknown = pc.unique(batch["source"].filter(pc.is_null(idx)))
+        raise RuntimeError(
+            f"segment(s) {unknown.to_pylist()} delivered without an "
+            "ordinal — read() must plan ordinals before tailing"
+        )
+    seg = pc.take(ord_vals, idx)
     offset = pc.add(
         pc.shift_left(seg, 32), pc.subtract(batch["line_no"], 1)
     )
@@ -102,14 +121,18 @@ class MessageLogSource:
     def __init__(self, topic_dir: str, state_dir: str, *, group: str = "g0"):
         self.topic_dir = topic_dir
         self._tails: dict[int, DirectoryTailSource] = {}
+        self._state_dirs: dict[int, str] = {}
+        self._pending_ordinals: dict[int, dict[str, int]] | None = None
         for name in sorted(os.listdir(topic_dir)):
             m = _PARTITION_RE.match(name)
             if not m:
                 continue
             p = int(m.group(1))
+            sd = os.path.join(state_dir, group, name)
+            self._state_dirs[p] = sd
             self._tails[p] = DirectoryTailSource(
                 os.path.join(topic_dir, name),
-                os.path.join(state_dir, group, name),
+                sd,
                 include=["segment-*.log"],
             )
         if not self._tails:
@@ -119,17 +142,52 @@ class MessageLogSource:
     def partitions(self) -> list[int]:
         return sorted(self._tails)
 
+    # -- consumer-assigned segment ordinals (see module doc) -----------------
+
+    def _ordinals_path(self, p: int) -> str:
+        return os.path.join(self._state_dirs[p], "segments.json")
+
+    def _load_ordinals(self, p: int) -> dict[str, int]:
+        try:
+            with open(self._ordinals_path(p)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def _plan_ordinals(self, p: int) -> dict[str, int]:
+        """Committed ordinals + new segments (sorted by name) appended
+        behind them — deterministic, so read() stays repeatable until
+        commit() even for hash-named segments."""
+        ords = self._load_ordinals(p)
+        part_dir = os.path.join(self.topic_dir, f"partition={p}")
+        names = sorted(
+            n
+            for n in os.listdir(part_dir)
+            if fnmatch.fnmatch(n, "segment-*.log")
+        )
+        nxt = max(ords.values(), default=-1) + 1
+        for n in names:
+            if n not in ords:
+                ords[n] = nxt
+                nxt += 1
+        return ords
+
     def read(self) -> ray.data.Dataset:
         """Messages appended since the last commit(), all partitions."""
         from functools import partial
 
         parts = []
+        pending: dict[int, dict[str, int]] = {}
         for p, tail in sorted(self._tails.items()):
+            ords = self._plan_ordinals(p)
+            pending[p] = ords
             parts.append(
                 tail.read().map_batches(
-                    partial(_to_messages, partition=p), batch_format="pyarrow"
+                    partial(_to_messages, partition=p, ordinals=ords),
+                    batch_format="pyarrow",
                 )
             )
+        self._pending_ordinals = pending
         ds = parts[0]
         for other in parts[1:]:
             ds = ds.union(other)
@@ -137,8 +195,15 @@ class MessageLogSource:
 
     def commit(self) -> None:
         """Durably advance every partition's offsets (atomic per partition)."""
-        for tail in self._tails.values():
+        for p, tail in sorted(self._tails.items()):
             tail.commit()
+            if self._pending_ordinals and p in self._pending_ordinals:
+                os.makedirs(self._state_dirs[p], exist_ok=True)
+                tmp = self._ordinals_path(p) + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(self._pending_ordinals[p], f)
+                os.replace(tmp, self._ordinals_path(p))
+        self._pending_ordinals = None
 
 
 class MessageLogSink:
@@ -149,12 +214,18 @@ class MessageLogSink:
     Broker semantics restated for a batch engine: a Kafka partition log
     is a sequence of SEGMENTS, each written by one producer at a time.
     Here every producing task appends its own exclusive segment per
-    partition (segment id = deterministic per-task tag), so parallel
-    producers never interleave bytes; per-partition order = segment
-    order then line order, exactly what the consumer's ``segment <<
-    32 | line`` offsets encode. Delivery confirmation ≈ write-temp +
-    ``os.replace`` (a segment becomes visible atomically or not at
-    all — Ray task retries overwrite the same name, idempotent).
+    partition (segment id = a 64-bit content hash of the batch, written
+    as a fixed-width 20-digit name so lexicographic file order is
+    total), so parallel producers never interleave bytes; per-partition
+    order = consumer-assigned segment ordinal then line order (see
+    MessageLogSource — offsets do NOT come from the hash). Delivery
+    confirmation ≈ write-temp + ``os.replace`` (a segment becomes
+    visible atomically or not at all — a Ray task RETRY regenerates the
+    same name + bytes and is a no-op; a 64-bit hash COLLISION between
+    two different batches is refused loudly instead of silently
+    overwriting a delivered segment). Consequence of content-hash
+    naming: two byte-identical batches deliver once (content-idempotent
+    exactly-once), which is the retry semantics we want.
 
     Use as a ``map_batches`` callable: rows must carry ``key_col`` /
     ``value_col``; partition = ``hash(key) % partitions`` via a
@@ -185,33 +256,63 @@ class MessageLogSink:
             return pa.schema(
                 [("partition", pa.int64()), ("n_messages", pa.int64())]
             ).empty_table()
-        keys = batch[self.key_col].to_pandas().astype(str)
-        vals = batch[self.value_col].to_pandas().astype(str)
-        part = (
-            pd.util.hash_array(keys.to_numpy(dtype=object)) % self.partitions
-        ).astype(np.int64)
-        # segment id per task: content-hash of this batch's keys — the
-        # same batch (retry) lands on the same segment name (idempotent)
-        seg = int.from_bytes(
-            hashlib.blake2b(
-                "\x00".join(keys.tolist()).encode(), digest_size=4
-            ).digest(),
-            "big",
+        # Arrow-native formatting (the one-time pandas round-trip on the
+        # hot write path was flagged in review): cast keys/values to
+        # string with C++ kernels, build "key\tvalue" lines with
+        # binary_join_element_wise, and join each partition's lines into
+        # one buffer with binary_join — zero Python per message.
+        keys = pc.cast(batch[self.key_col], pa.string())
+        vals = pc.cast(batch[self.value_col], pa.string())
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        # null key → bare "value" line (no tab), the exact encoding the
+        # consumer maps back to key=null — roundtrip-faithful (a tab in
+        # a NULL-keyed value would mis-split on consume; keyed values
+        # are safe, only the first tab splits)
+        lines = pc.if_else(
+            pc.is_null(keys),
+            vals,
+            pc.binary_join_element_wise(
+                pc.fill_null(keys, ""), vals, "\t"
+            ),
         )
+        key_np = keys.to_numpy(zero_copy_only=False)
+        part = (pd.util.hash_array(key_np) % self.partitions).astype(np.int64)
+        # segment id per task: 64-bit content hash of this batch's
+        # key+value bytes — a retry regenerates the same name + content
+        # (idempotent no-op); 4 bytes would hash-collide at the birthday
+        # bound (~77k batches/partition) and silently drop a segment.
+        h = hashlib.blake2b(digest_size=8)
+        for buf in lines.buffers():
+            if buf is not None:
+                h.update(buf)
+        seg = int.from_bytes(h.digest(), "big")
         counts: dict[int, int] = {}
-        for p in sorted(set(part.tolist())):
-            rows = [
-                f"{k}\t{v}"
-                for k, v in zip(keys[part == p], vals[part == p])
-            ]
+        for p in np.unique(part).tolist():
+            sub = lines.filter(pa.array(part == p))
+            payload = pc.binary_join(
+                pa.ListArray.from_arrays([0, len(sub)], sub), "\n"
+            )[0].as_py() + "\n"
             d = os.path.join(self.topic_dir, f"partition={p}")
             os.makedirs(d, exist_ok=True)
-            final = os.path.join(d, f"segment-{seg:08d}.log")
-            tmp = final + ".tmp"
+            final = os.path.join(d, f"segment-{seg:020d}.log")
+            if os.path.exists(final):
+                with open(final) as f:
+                    if f.read() != payload:
+                        raise RuntimeError(
+                            f"segment hash collision: {final} exists with "
+                            "different content — refusing to overwrite a "
+                            "delivered segment"
+                        )
+                counts[p] = len(sub)  # idempotent retry: already delivered
+                continue
+            tmp = f"{final}.tmp-{os.getpid()}"
             with open(tmp, "w") as f:
-                f.write("\n".join(rows) + "\n")
+                f.write(payload)
             os.replace(tmp, final)  # delivery confirmation: atomic visibility
-            counts[p] = len(rows)
+            counts[p] = len(sub)
         return pa.table(
             {
                 "partition": pa.array(sorted(counts), type=pa.int64()),

@@ -235,10 +235,20 @@ def parse_json_column(col, *, schema: "pa.Schema | None" = None) -> pa.Table:
 
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    # null entries parse as JSON null rows (join of None would raise)
+    col = pc.fill_null(col, "null")
     buf = "\n".join(col.to_pylist()).encode()
     opts = (
         pajson.ParseOptions(explicit_schema=schema)
         if schema is not None
         else pajson.ParseOptions()
     )
-    return pajson.read_json(io.BytesIO(buf), parse_options=opts)
+    parsed = pajson.read_json(io.BytesIO(buf), parse_options=opts)
+    # enforce the no-embedded-newline contract: a value containing '\n'
+    # would shift the NDJSON framing and change the row count
+    if parsed.num_rows != len(col):
+        raise ValueError(
+            f"parse_json_column: {parsed.num_rows} parsed rows != "
+            f"{len(col)} input rows — embedded newline in a JSON value?"
+        )
+    return parsed

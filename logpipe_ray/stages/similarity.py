@@ -196,6 +196,7 @@ def ann_knn_bucketed(
     id_col: str = "vec_id",
     n_rows: int | None = None,
     target_bucket_rows: int = 1024,
+    scale_occupancy: bool = True,
 ) -> ray.data.Dataset:
     """ANN: only corpus rows whose LSH bucket matches some query bucket
     are scanned (bucket filter inside map_batches — a semi join against
@@ -215,11 +216,20 @@ def ann_knn_bucketed(
     O(n) either way — this bounds the matmul side, not the scan — and
     more planes lower per-bucket recall, so raise ``multiprobe``
     alongside (the standard LSH tradeoff; same policy and rationale as
-    :func:`cosine_dedup_lsh`). Default (``n_rows=None``) keeps the
-    caller's fixed ``n_planes`` exactly."""
+    :func:`cosine_dedup_lsh`).
+
+    Occupancy scaling is the DEFAULT (``scale_occupancy=True``): when
+    ``n_rows`` isn't given it is taken from ``ds.count()`` (metadata-
+    cheap on a parquet read). Fixed planes at a growing corpus is the
+    same latent linear-scored-set defect the dedup LSH path already
+    paid for — pass ``scale_occupancy=False`` for the explicit-planes
+    behavior (planes never drop below the caller's ``n_planes`` either
+    way, so small corpora are unaffected)."""
     import math
     from itertools import combinations
 
+    if scale_occupancy and n_rows is None:
+        n_rows = ds.count()
     if n_rows is not None:
         n_planes = min(
             62,

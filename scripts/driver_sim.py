@@ -10,6 +10,7 @@ rows sorted, values stringified).
 """
 
 import hashlib
+import os
 import sys
 import time
 
@@ -68,6 +69,10 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
     qs, oracles = mod.queries(), mod.oracle_sql()
+    only = os.environ.get("DRIVER_SIM_ONLY")
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        qs = {n: qs[n] for n in names}
     n_fail = 0
     for name, fn in qs.items():
         t0 = time.time()

@@ -114,6 +114,80 @@ class TestMessageLogSink:
             by_key.setdefault(r["key"], set()).add(r["partition"])
         assert all(len(ps) == 1 for ps in by_key.values())
 
+    def test_offsets_monotone_across_hash_named_segments(
+        self, ray_session, tmp_path
+    ):
+        """Producer segment names are content hashes (arbitrary order);
+        consumer offsets must STILL be monotone across reads because
+        ordinals are assigned first-seen and persisted at commit."""
+        import pyarrow as pa
+
+        from logpipe_ray.sources.kafka_log import MessageLogSink
+
+        topic = str(tmp_path / "topic_mono")
+        sink = MessageLogSink(topic, partitions=1)
+        sink(pa.table({"key": ["a"], "value": ["first"]}))
+        src = MessageLogSource(topic, str(tmp_path / "st_mono"))
+        got1 = src.read().take_all()
+        src.commit()
+        hi1 = max(r["offset"] for r in got1)
+
+        # a second batch whose hash may sort BEFORE the first segment
+        sink(pa.table({"key": ["b"], "value": ["second"]}))
+        src2 = MessageLogSource(topic, str(tmp_path / "st_mono"))
+        got2 = src2.read().take_all()
+        assert [r["value"] for r in got2] == ["second"]
+        assert got2[0]["offset"] > hi1  # strictly increasing across reads
+        assert got2[0]["offset"] >= 0  # int64-safe (no << 32 overflow)
+
+    def test_segment_names_fixed_width(self, ray_session, tmp_path):
+        import os
+
+        import pyarrow as pa
+
+        from logpipe_ray.sources.kafka_log import MessageLogSink
+
+        topic = str(tmp_path / "topic_width")
+        MessageLogSink(topic, partitions=1)(
+            pa.table({"key": ["x"], "value": ["y"]})
+        )
+        [name] = [f for _, _, fs in os.walk(topic) for f in fs]
+        assert len(name) == len("segment-") + 20 + len(".log")
+
+    def test_collision_refused_not_overwritten(self, ray_session, tmp_path):
+        """A same-named segment with DIFFERENT content (64-bit hash
+        collision) must raise, never silently replace delivered data."""
+        import os
+
+        import pyarrow as pa
+        import pytest
+
+        from logpipe_ray.sources.kafka_log import MessageLogSink
+
+        topic = str(tmp_path / "topic_coll")
+        sink = MessageLogSink(topic, partitions=1)
+        sink(pa.table({"key": ["a"], "value": ["1"]}))
+        [path] = [
+            os.path.join(d, f) for d, _, fs in os.walk(topic) for f in fs
+        ]
+        with open(path, "w") as f:  # simulate a colliding earlier segment
+            f.write("other\tcontent\n")
+        with pytest.raises(RuntimeError, match="collision"):
+            sink(pa.table({"key": ["a"], "value": ["1"]}))
+
+    def test_null_key_roundtrip(self, ray_session, tmp_path):
+        import pyarrow as pa
+
+        from logpipe_ray.sources.kafka_log import MessageLogSink
+
+        topic = str(tmp_path / "topic_nullk")
+        MessageLogSink(topic, partitions=1)(
+            pa.table({"key": [None, "k"], "value": ["bare", "keyed"]})
+        )
+        src = MessageLogSource(topic, str(tmp_path / "st_nullk"))
+        got = {(r["key"], r["value"]) for r in src.read().take_all()}
+        assert got == {(None, "bare"), ("k", "keyed")}
+
     def test_segment_write_idempotent(self, ray_session, tmp_path):
         """Re-producing the same batch overwrites the same segment
         (content-hash names) — a task retry cannot duplicate messages."""
