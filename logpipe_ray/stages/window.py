@@ -3,16 +3,28 @@
 The reference delivers immediately and has no windows (SURVEY.md §2.5
 "Windows: none"), but a complete engine over the ``events`` table needs
 them. Ray Data has no event-time watermarks; the batch restatement
-(composed from public Ray Data groupby/map_groups primitives,
+(composed from public Ray Data sort/map_batches primitives,
 https://docs.ray.io/en/latest/data/grouping-data.html):
 
 - **tumbling window**: window id is a pure function of ts → add the
   column vectorized in ``map_batches``, then a plain groupby — no
   per-key ordering needed.
-- **session window** (gap-based): requires per-key time order →
-  ``groupby(key).map_groups`` with a pandas sort + gap cumsum inside
-  each group. Assumes one key's events fit in a worker (salt/secondary
-  window if a key is pathological).
+- **ordered per-key operators** (session, as-of, cumsum, lag): ONE
+  ``sort([key])`` co-locates every key's rows in one block (range
+  assignment is a deterministic function of the KEY value alone, so an
+  equal-key run never straddles a range — sorting by ``[key, ts]``
+  instead would place composite boundaries INSIDE a key's run and
+  split it across blocks; measured as 4 phantom sessions at sf0.01),
+  then the kernel lexsorts the whole block by (key, ts, id) once and
+  run-scans it (``run_starts`` + ``np.*.reduceat`` / cumsum-with-run-
+  reset), computing every group in one vectorized pass. No per-group
+  UDF calls, no Arrow→pandas round-trip per key: with millions of keys
+  per block the per-group shape is a Python-loop straggler (the same
+  defect the dedup pipeline measured at 1.5-1.7× end-to-end —
+  BASELINE.md round-3 dedup section); the lexsort+run-scan shape is
+  O(block log block) numpy regardless of key count. Assumes one key's
+  events fit in a worker (salt/secondary window if a key is
+  pathological).
 
 Monetary/value sums are carried as integer cents so results are exactly
 reproducible across engines (float sum order is not deterministic).
@@ -27,7 +39,7 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Sum
 
-from logpipe_ray.stages.smallagg import map_groups_typed
+from logpipe_ray.stages.smallagg import run_starts
 
 
 def add_tumbling_window(
@@ -85,6 +97,12 @@ def tumbling_aggregate(
     )
 
 
+def _np(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False)
+
+
 def sessionize(
     ds: ray.data.Dataset,
     *,
@@ -98,31 +116,14 @@ def sessionize(
     A new session starts when the time since the previous event of the
     same key exceeds ``gap_s``. Returns one row per session:
     (key, session_id [0-based, in ts order], n_events, sum_value_cents).
-    Ordering assumption: all events of one key are colocated by the
-    groupby shuffle and sorted by ts inside the group.
+
+    One ``sort([key])`` co-locates (module doc); the kernel lexsorts
+    the block by (key, ts) — equal-ts ties have gap 0, so the tie order
+    can't change the segmentation — then computes every key's sessions
+    in four vectorized passes (gap diff → session boundaries →
+    reduceat sums), no per-group UDF.
     """
-
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, "event_id"] if "event_id" in g else [ts_col])
-        gaps = g[ts_col].diff().dt.total_seconds().fillna(0.0)
-        session = (gaps > gap_s).cumsum()
-        cents = cents_half_away(g[value_col])
-        out = (
-            pd.DataFrame(
-                {
-                    key_col: g[key_col].to_numpy(),
-                    "session_id": session.to_numpy(),
-                    "value_cents": cents,
-                }
-            )
-            .groupby([key_col, "session_id"], as_index=False)
-            .agg(n_events=("value_cents", "size"), sum_value_cents=("value_cents", "sum"))
-        )
-        out["session_id"] = out["session_id"].astype(np.int64)
-        out["n_events"] = out["n_events"].astype(np.int64)
-        return out
-
-    schema = pa.schema(
+    out_schema = pa.schema(
         [
             (key_col, pa.int64()),
             ("session_id", pa.int64()),
@@ -130,7 +131,48 @@ def sessionize(
             ("sum_value_cents", pa.int64()),
         ]
     )
-    return map_groups_typed(ds, key_col, per_key, schema)
+
+    def kernel(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        keys = _np(b[key_col]).astype(np.int64, copy=False)
+        ts_us = _np(pc.cast(b[ts_col], pa.int64()))
+        cents = cents_half_away(_np(b[value_col]))
+        order = np.lexsort((ts_us, keys))
+        keys, ts_us, cents = keys[order], ts_us[order], cents[order]
+        starts = run_starts(keys)
+        # session boundary: first event of a key, or gap > threshold
+        new_sess = np.zeros(n, dtype=bool)
+        new_sess[starts] = True
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = 0
+        gap[1:] = ts_us[1:] - ts_us[:-1]
+        new_sess |= gap > gap_s * 1_000_000
+        sess_starts = np.flatnonzero(new_sess)
+        # per-key 0-based session ids: global session counter minus its
+        # value at the key's first session
+        sess_global = np.cumsum(new_sess) - 1  # id of each row's session
+        run_lens = np.diff(np.concatenate((starts, [n])))
+        key_base = np.repeat(sess_global[starts], run_lens)
+        sess_id_rows = sess_global - key_base
+        ends = np.concatenate((sess_starts[1:], [n]))
+        return pa.table(
+            {
+                key_col: pa.array(keys[sess_starts], type=pa.int64()),
+                "session_id": pa.array(
+                    sess_id_rows[sess_starts], type=pa.int64()
+                ),
+                "n_events": pa.array(ends - sess_starts, type=pa.int64()),
+                "sum_value_cents": pa.array(
+                    np.add.reduceat(cents, sess_starts), type=pa.int64()
+                ),
+            }
+        )
+
+    return ds.sort(key_col).map_batches(
+        kernel, batch_format="pyarrow", batch_size=None
+    )
 
 
 def top_k(
@@ -171,40 +213,59 @@ def asof_join_by_key(
     """As-of join within each key: for every left row, the most recent
     right row with ts <= left.ts (backward, exact matches allowed).
 
-    Composition: co-locate by key
-    with one groupby shuffle, then ``pd.merge_asof`` over the sorted
-    group. Left/right membership comes from boolean mask columns so a
-    single pass over one dataset can as-of join two of its slices
-    (e.g. purchases against signups in an event log).
+    Left/right membership comes from boolean mask columns so a single
+    pass over one dataset can as-of join two of its slices (e.g.
+    purchases against signups in an event log).
+
+    Kernel: ``sort([key])`` co-locates (module doc); the block is
+    lexsorted by (key, ts, side, right_id) with right rows ordered
+    BEFORE left rows at equal ts (side=0 for right; right_id last so
+    among equal-ts right rows the LAST by id wins — merge_asof's
+    right-sorted-by-(ts, id) "most recent" convention, bit-exact), so
+    "last right at block position < here" == "last right with ts <=
+    mine, exact ties included" — a single prefix-count (cumsum of the
+    right mask) then answers every left row at once; a key check on the
+    candidate rejects cross-key bleed. No per-group merge_asof calls.
     """
+    out_schema = pa.schema([(left_id, pa.int64()), (out_right_id, pa.float64())])
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g[left_mask_col]].sort_values([ts_col, left_id])
-        right = g[g[right_mask_col]].sort_values([ts_col, right_id])
-        if len(left) == 0:
-            return pd.DataFrame(
-                {
-                    left_id: pd.Series([], dtype="int64"),
-                    out_right_id: pd.Series([], dtype="float64"),
-                }
-            )
-        if len(right) == 0:
-            out = pd.DataFrame({left_id: left[left_id].astype("int64")})
-            out[out_right_id] = np.nan
-            return out
-        merged = pd.merge_asof(
-            left[[ts_col, left_id]],
-            right[[ts_col, right_id]].rename(columns={right_id: out_right_id}),
-            on=ts_col,
-            direction="backward",
-            allow_exact_matches=True,
-        )
-        return merged[[left_id, out_right_id]].astype(
-            {left_id: "int64", out_right_id: "float64"}
+    def kernel(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        keys = _np(b[key_col]).astype(np.int64, copy=False)
+        ts_us = _np(pc.cast(b[ts_col], pa.int64()))
+        lmask = _np(b[left_mask_col]).astype(bool, copy=False)
+        rmask = _np(b[right_mask_col]).astype(bool, copy=False)
+        lids = _np(b[left_id])
+        rids = _np(b[right_id]).astype(np.float64, copy=False)
+        tie = np.where(np.isnan(rids), 0.0, rids)
+        order = np.lexsort((tie, lmask.astype(np.int8), ts_us, keys))
+        keys, lmask, rmask = keys[order], lmask[order], rmask[order]
+        lids, rids = lids[order], rids[order]
+        r_pos = np.flatnonzero(rmask)
+        # prefix count of right rows at-or-before each position
+        cnt = np.cumsum(rmask)
+        l_pos = np.flatnonzero(lmask)
+        cand = cnt[l_pos] - 1  # index into r_pos of the candidate match
+        safe = np.maximum(cand, 0)
+        if len(r_pos):
+            valid = (cand >= 0) & (keys[r_pos[safe]] == keys[l_pos])
+            matched = np.where(valid, rids[r_pos[safe]], np.nan)
+        else:
+            matched = np.full(len(l_pos), np.nan)
+        return pa.table(
+            {
+                left_id: pa.array(
+                    lids[l_pos].astype(np.int64), type=pa.int64()
+                ),
+                out_right_id: pa.array(matched, type=pa.float64()),
+            }
         )
 
-    schema = pa.schema([(left_id, pa.int64()), (out_right_id, pa.float64())])
-    return map_groups_typed(ds, key_col, per_key, schema)
+    return ds.sort(key_col).map_batches(
+        kernel, batch_format="pyarrow", batch_size=None
+    )
 
 
 def cumulative_sum_by_key(
@@ -215,20 +276,38 @@ def cumulative_sum_by_key(
     value_col: str = "value",
     id_col: str = "event_id",
 ) -> ray.data.Dataset:
-    """Per-key running cents-sum in (ts, id) order → (id, running_cents)."""
+    """Per-key running cents-sum in (ts, id) order → (id, running_cents).
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, id_col])
-        cents = cents_half_away(g[value_col])
-        return pd.DataFrame(
+    ``sort([key])`` co-locates; the kernel lexsorts the block by
+    (key, ts, id), then one cumsum with a per-run reset (subtract the
+    running total at each key's first row) — every key in the block in
+    one vectorized pass (module doc)."""
+    out_schema = pa.schema([(id_col, pa.int64()), ("running_cents", pa.int64())])
+
+    def kernel(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        keys = _np(b[key_col]).astype(np.int64, copy=False)
+        ts_us = _np(pc.cast(b[ts_col], pa.int64()))
+        ids = _np(b[id_col]).astype(np.int64, copy=False)
+        cents = cents_half_away(_np(b[value_col]))
+        order = np.lexsort((ids, ts_us, keys))
+        keys, ids, cents = keys[order], ids[order], cents[order]
+        starts = run_starts(keys)
+        run_lens = np.diff(np.concatenate((starts, [n])))
+        total = np.cumsum(cents)
+        base = np.repeat(total[starts] - cents[starts], run_lens)
+        return pa.table(
             {
-                id_col: g[id_col].astype("int64").to_numpy(),
-                "running_cents": cents.cumsum(),
+                id_col: pa.array(ids, type=pa.int64()),
+                "running_cents": pa.array(total - base, type=pa.int64()),
             }
         )
 
-    schema = pa.schema([(id_col, pa.int64()), ("running_cents", pa.int64())])
-    return map_groups_typed(ds, key_col, per_key, schema)
+    return ds.sort(key_col).map_batches(
+        kernel, batch_format="pyarrow", batch_size=None
+    )
 
 
 def lag_diff_by_key(
@@ -244,19 +323,31 @@ def lag_diff_by_key(
     COALESCE(lag(...), cents) convention, keeping the column pure
     int64 — nullable ints degrade to float64 through pandas/Arrow and
     break the integer-cents oracle rule) — the LAG() window
-    restatement (co-locate by key, order within the group; same
-    partitioning contract as cumulative_sum_by_key)."""
+    restatement. ``sort([key])`` co-locates; the kernel lexsorts the
+    block by (key, ts, id), then one shifted diff with the delta zeroed
+    at run starts (module doc)."""
+    out_schema = pa.schema([(id_col, pa.int64()), ("delta_cents", pa.int64())])
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, id_col])
-        cents = np.asarray(cents_half_away(g[value_col]), dtype=np.int64)
-        delta = np.diff(cents, prepend=cents[:1] if len(cents) else 0)
-        return pd.DataFrame(
+    def kernel(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        keys = _np(b[key_col]).astype(np.int64, copy=False)
+        ts_us = _np(pc.cast(b[ts_col], pa.int64()))
+        ids = _np(b[id_col]).astype(np.int64, copy=False)
+        cents = cents_half_away(_np(b[value_col]))
+        order = np.lexsort((ids, ts_us, keys))
+        keys, ids, cents = keys[order], ids[order], cents[order]
+        delta = np.zeros(n, dtype=np.int64)
+        delta[1:] = cents[1:] - cents[:-1]
+        delta[run_starts(keys)] = 0
+        return pa.table(
             {
-                id_col: g[id_col].astype("int64").to_numpy(),
-                "delta_cents": delta,
+                id_col: pa.array(ids, type=pa.int64()),
+                "delta_cents": pa.array(delta, type=pa.int64()),
             }
         )
 
-    schema = pa.schema([(id_col, pa.int64()), ("delta_cents", pa.int64())])
-    return map_groups_typed(ds, key_col, per_key, schema)
+    return ds.sort(key_col).map_batches(
+        kernel, batch_format="pyarrow", batch_size=None
+    )
