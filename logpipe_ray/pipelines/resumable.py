@@ -55,7 +55,12 @@ def process_fragment(
     fid = frag_id(path)
     if fid in fail_on:
         raise RuntimeError(f"injected failure for fragment {fid}")
-    table = pq.read_table(path)
+    # use_threads=False: this task owns ONE CPU; the default threaded
+    # read spawns arrow's full pool from every concurrent fragment task
+    # (32 tasks × 32 threads) — measured 25% slower at 64 fragments /
+    # 32 CPUs, and slower even stand-alone on this host (BASELINE.md
+    # round-4 resumable section)
+    table = pq.read_table(path, use_threads=False)
     if make_sequences:
         from logpipe_ray.sources.sequences import make_sequences_batch
 
