@@ -430,65 +430,23 @@ def entry() -> Any:
 
 
 # The driver verifies queries in registration order and samples a
-# PREFIX of ~50 (round 2 ran exactly the first 50 of 64, leaving the
-# tail evidence-free). Order therefore IS the evidence budget: list
-# never-yet-driver-verified and this-round-changed queries first, then
-# the flagship contract, then one representative per operator family;
-# queries green in both prior rounds take the tail.
+# PREFIX of ~50 (rounds 2 and 3 each ran exactly the first 50). Order
+# therefore IS the evidence budget. Round-4 rotation (VERDICT r3 item
+# 1): positions 1-4 = this round's highest-risk changes (two NEW
+# queries + one representative each of the message-log offset redesign
+# and the window-kernel rewrite); positions 5-50 = the 46 queries with
+# no r3 driver row (flagship contract + one per operator family — all
+# sim-green every round, but their driver evidence dates to r1/r2);
+# the remaining r4-changed queries sit right after (sampled if the
+# prefix runs long; all driver_sim-green + pytest-covered regardless);
+# the 49 r3-green rows take the tail.
 _DRIVER_PRIORITY = [
-    # new / fixed / changed this round
-    "join_range",
-    "events_band_join",
-    "events_moments",
-    "text_normalize",
-    "events_user_journey",
-    "csv_source",
-    "word_topk_mg",
-    "tail_dedup_ingest",
-    "dedup_substr",
-    "orders_global_rank",
-    "docs_stratified_split",
-    "docs_curriculum",
-    "text_redact",
-    "doc_rarity",
-    "events_json_extract",
-    "jsonl_source",
-    "source_mix",
-    "events_approx_quantile",
-    "join_outer",
-    "events_rollup",
-    "decontaminate_ngram",
-    "source_cap",
-    "dedup_incremental",
-    "dedup_keep_best",
-    "quality_percentile_filter",
-    "events_group_topk",
-    "embed_dedup_lsh",
-    "exec_source",
-    "kafka_log_source",
+    # new / changed this round (highest risk first)
+    "es_bulk_delivery",
+    "semantic_dedup",
     "kafka_roundtrip",
-    "embed_dedup_cosine",
-    "multimodal_decode_real",
-    "dedup_minhash_lsh",
-    "events_lag_diff",
-    "dedup_clusters",
-    "events_union",
-    "events_median",
-    "agg_having",
     "events_session",
-    "events_asof",
-    "events_cumsum",
-    # r1-green but never sampled in r2
-    "events_sliding",
-    "events_pivot",
-    "events_latest",
-    "events_approx_users",
-    "multijoin_nation_revenue",
-    "pushdown_filter",
-    "seq_dedup_exact",
-    # flagship contract (the engine's own dataflow)
-    "seq_synthesize",
-    "seq_parse",
+    # the 46 with no r3 driver row: flagship contract first
     "seq_enrich",
     "seq_counters",
     "seq_routed",
@@ -500,7 +458,7 @@ _DRIVER_PRIORITY = [
     "seq_pack_sums",
     "seq_chunk",
     "vocab_topk",
-    # one representative per operator family
+    # ...then one representative per operator family
     "q1_pricing",
     "events_agg",
     "events_tumbling",
@@ -520,6 +478,72 @@ _DRIVER_PRIORITY = [
     "docs_training_pipeline",
     "log_lines_source",
     "log_lines_tail",
+    "text_stats",
+    "token_count",
+    "doc_fingerprint",
+    "doc_repetition",
+    "filter_grep",
+    "es_fields_template",
+    "dedup_ngram_topk",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "embed_ann_lsh",
+    "embed_ann_ivf",
+    "multimodal_meta",
+    "bigram_topk",
+    "train_val_split",
+    "multimodal_resize",
+    "multimodal_frames",
+    # remaining r4-changed (after the 46 — sampled if the prefix runs long)
+    "events_asof",
+    "events_cumsum",
+    "events_lag_diff",
+    "kafka_log_source",
+    "tail_dedup_ingest",
+    "events_json_extract",
+    "decontaminate_ngram",
+    # r3-green tail
+    "join_range",
+    "events_band_join",
+    "events_moments",
+    "text_normalize",
+    "events_user_journey",
+    "csv_source",
+    "word_topk_mg",
+    "dedup_substr",
+    "orders_global_rank",
+    "docs_stratified_split",
+    "docs_curriculum",
+    "text_redact",
+    "doc_rarity",
+    "jsonl_source",
+    "source_mix",
+    "events_approx_quantile",
+    "join_outer",
+    "events_rollup",
+    "source_cap",
+    "dedup_incremental",
+    "dedup_keep_best",
+    "quality_percentile_filter",
+    "events_group_topk",
+    "embed_dedup_lsh",
+    "exec_source",
+    "embed_dedup_cosine",
+    "multimodal_decode_real",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "events_union",
+    "events_median",
+    "agg_having",
+    "events_sliding",
+    "events_pivot",
+    "events_latest",
+    "events_approx_users",
+    "multijoin_nation_revenue",
+    "pushdown_filter",
+    "seq_dedup_exact",
+    "seq_synthesize",
+    "seq_parse",
 ]
 
 

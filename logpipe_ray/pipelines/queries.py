@@ -715,6 +715,63 @@ def es_fields_template(sf_dir: str):
     return ds.map_batches(prep, batch_format="pyarrow")
 
 
+@query(
+    "es_bulk_delivery",
+    r"""WITH f AS (
+         SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
+       )
+       SELECT doc_id,
+              '{"w1":"' || ws[1] || '","w3":"' || ws[3] || '","w5":"' || ws[5]
+                || '"}' AS doc
+       FROM f WHERE length(ws) >= 5""",
+)
+def es_bulk_delivery(sf_dir: str):
+    """ES sink END-TO-END (logpipe-output-es.c delivery half): field
+    split + $N template (as es_fields_template), then the actor-pool
+    bulk sink POSTs NDJSON ``_bulk`` bodies over keep-alive HTTP to a
+    local in-process ``_bulk`` stub — with a transport failure injected
+    on the first request, exercising the reconnect-retry-resend loop
+    (:377-461). The returned rows come back FROM THE SERVER'S STORE,
+    so the oracle match proves exactly-once delivery of every doc
+    (at-least-once transport + ``_id`` idempotency), not just
+    formatting."""
+    from logpipe_ray.stages.es_sink import EsBulkSink, start_bulk_stub
+    from logpipe_ray.stages.parse import format_template, split_fields
+
+    srv = start_bulk_stub({1: "drop_before"})
+    try:
+        ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            b = split_fields(b, text_col="text", max_fields=5, strict=True)
+            b = format_template(b, '{"w1":"$1","w3":"$3","w5":"$5"}')
+            return b.select(["doc_id", "doc"])
+
+        ds.map_batches(prep, batch_format="pyarrow").map_batches(
+            EsBulkSink,
+            fn_constructor_kwargs={
+                "url": srv.url,
+                "index": "docs",
+                "doc_col": "doc",
+                "id_col": "doc_id",
+                "retry_wait_s": 0.01,
+            },
+            batch_format="pyarrow",
+            batch_size=4096,
+            concurrency=2,
+            num_cpus=0.5,
+        ).materialize()
+        ids = sorted(srv.docs, key=int)
+        return pa.table(
+            {
+                "doc_id": pa.array([int(i) for i in ids], type=pa.int64()),
+                "doc": pa.array([srv.docs[i] for i in ids], type=pa.string()),
+            }
+        )
+    finally:
+        srv.shutdown()
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -1119,6 +1176,23 @@ def embed_dedup_lsh(sf_dir: str):
     return cosine_dedup_lsh(ds, threshold=0.82, n_planes=8, bands=16).select_columns(
         ["vec_id"]
     )
+
+
+@query("semantic_dedup", None)  # cluster-boundary misses by design — tested
+def semantic_dedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster
+    the embedding space, near-dup-remove only WITHIN clusters —
+    quadratic work drops n² → Σ m². Not SQL-expressible (k-means cells
+    + boundary-straddle misses are inherent to the method); pytest
+    properties assert planted-recall with a boundary-straddle bound and
+    removal ⊆ the global exact removal set (tests/test_semdedup.py).
+    Threshold matches embed_dedup_lsh's near-dup operating point."""
+    from logpipe_ray.stages.similarity import semantic_cluster_dedup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semantic_cluster_dedup(
+        ds, threshold=0.82, n_clusters=16
+    ).select_columns(["vec_id"])
 
 
 @query("embed_ann_ivf", None)  # ANN recall < 1 by design — measured in tests
@@ -2821,6 +2895,9 @@ def tail_dedup_ingest(sf_dir: str):
     grows with the corpus, the shuffle carries only partial rows);
     per-source counters fold from the same aggregate, no second corpus
     pass. The only driver materialization is sources-dimension counts.
+    State lives in a HashStateStore (state/hashstate.py): segment
+    count stays bounded under LSM compaction, so a long-running loop
+    reads O(max_segments) files per tick, not O(ticks).
     """
     import os
     import tempfile
@@ -2831,11 +2908,13 @@ def tail_dedup_ingest(sf_dir: str):
 
     from logpipe_ray.sources.stream import DirectoryTailSource
     from logpipe_ray.stages.dedup import add_text_hash
+    from logpipe_ray.state.hashstate import HashStateStore
 
     d = tempfile.mkdtemp(prefix="lpr_ingest_")
     logs, hstate, outd = f"{d}/logs", f"{d}/hashstate", f"{d}/out"
     for p in (logs, hstate, outd):
         os.makedirs(p, exist_ok=True)
+    store = HashStateStore(hstate, max_segments=8)
 
     t = (
         _pq.read_table(
@@ -2900,9 +2979,7 @@ def tail_dedup_ingest(sf_dir: str):
             return g.select(part_schema.names)
 
         parts = new.map_batches(prep, batch_format="pyarrow")
-        state_files = sorted(
-            os.path.join(hstate, f) for f in os.listdir(hstate)
-        )
+        state_files = store.files()
         if state_files:
 
             def as_state(b: pa.Table) -> pa.Table:
@@ -3004,7 +3081,7 @@ def tail_dedup_ingest(sf_dir: str):
         if surv_files:
             st = _pq.read_table(surv_files, columns=["source", "text_hash"])
             new_hashes = st
-        _pq.write_table(new_hashes, os.path.join(hstate, f"tick-{i}.parquet"))
+        store.append(new_hashes)
         src_obj.commit()
 
     append_lines(rows)

@@ -357,6 +357,38 @@ def _sink_message_log(ds, topic_dir: str, **kw):
     return fold_partials(partials, "partition", "n_messages")
 
 
+@register_sink("es")
+def _sink_es(ds, url: str, **kw):
+    """ES bulk-HTTP delivery (logpipe-output-es transport half): actor
+    pool of keep-alive connections, batched ``_bulk`` POSTs with
+    reconnect-retry-resend; returns folded delivery counters. See
+    stages/es_sink.py for the full semantics map."""
+    from logpipe_ray.stages.es_sink import PARTIAL_SCHEMA, EsBulkSink
+    from logpipe_ray.stages.smallagg import fold_partials
+    from logpipe_ray.util import pool_size
+
+    batch_size = kw.pop("batch_size", 4096)
+    concurrency = kw.pop("concurrency", pool_size(per_actor_cpus=0.5, cap=8))
+    partials = ds.map_batches(
+        EsBulkSink,
+        fn_constructor_kwargs={"url": url, **kw},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=0.5,
+    ).map_batches(
+        lambda b: b.append_column(
+            "sink", pa.array(["es"] * b.num_rows, type=pa.string())
+        )
+        if b.num_rows
+        else PARTIAL_SCHEMA.insert(0, pa.field("sink", pa.string())).empty_table(),
+        batch_format="pyarrow",
+    )
+    return fold_partials(
+        partials, "sink", ["n_docs", "n_posts", "n_retries", "n_http_errors"]
+    )
+
+
 @register_sink("stdout")
 def _sink_stdout(ds, limit: int = 20, **kw):
     """Debug sink (logpipe-output-stdout analog)."""

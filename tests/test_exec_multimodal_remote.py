@@ -139,6 +139,51 @@ def test_write_routed_batch_memory_fs_roundtrip():
     assert "sink" not in got.column_names
 
 
+def test_routed_pipeline_through_fsspec_uri(ray_session, tmp_path):
+    """END-TO-END remote-FS write: the routed writer runs inside Ray
+    map_batches tasks against an fsspec URI out_dir (file:// — the
+    only fsspec backend in this sandbox whose namespace is shared
+    across worker processes; memory:// is per-process so it can only
+    be exercised driver-side, see test above) with the output-hdfs
+    dated-dir template, then the output reads back row-identical
+    through the same URI. Closes logpipe-output-hdfs.c:343-429 minus
+    a real libhdfs."""
+    import datetime as _dt
+    from functools import partial
+
+    import fsspec
+    import ray.data
+
+    when = _dt.datetime(2026, 8, 17, 13, 5, 9)
+    out_uri = expand_path_template(
+        f"file://{tmp_path}/remote/dt=%Y%M%D/hr=%h", when
+    )
+    assert out_uri.endswith("dt=20260817/hr=13")
+    # distinct doc_ids per row: part names are content hashes
+    # (first id | last id | rows), so byte-identical blocks from
+    # different tasks would deliberately collapse to one file
+    rows = pa.table(
+        {
+            "doc_id": [f"d-{i:04d}" for i in range(150)],
+            "source": [f"{'ab'[i % 2]}.log" for i in range(150)],
+            "sink": [["sink-web", "sink-db", "sink-sys"][i % 3] for i in range(150)],
+            "n_tok": list(range(150)),
+        }
+    )
+    ds = ray.data.from_arrow(rows).repartition(4)
+    partials = ds.map_batches(
+        partial(write_routed_batch, out_dir=out_uri),
+        batch_format="pyarrow",
+    ).to_pandas()
+    assert partials["n_rows"].sum() == 150
+    fs, path = fsspec.core.url_to_fs(out_uri)
+    files = fs.glob(f"{path}/sink=*/part-*.parquet")
+    assert len(files) >= 2
+    got = pa.concat_tables(pq.read_table(f, filesystem=fs) for f in files)
+    assert got.num_rows == 150
+    assert "sink" not in got.column_names
+
+
 def test_write_routed_dated_dir_template(tmp_path):
     """Dated-dir sink path (output-hdfs's %Y%M%D template analog)."""
     when = datetime.datetime(2026, 8, 17, 13, 5, 9)
