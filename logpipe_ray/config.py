@@ -50,9 +50,39 @@ def load_spec(path_or_dict: str | dict) -> dict:
         return json.loads(raw.decode("gb18030"))
 
 
+_SIZE_KEYS = ("batch_size", "roll", "roll_bytes", "flush_bytes", "block_bytes",
+              "chunk_bytes", "rows_per_block", "budget", "limit")
+_DURATION_KEYS_SUFFIX = "_s"
+
+
+def normalize_units(d: dict) -> dict:
+    """Config unit suffixes — the ``size64_atou64``/``usleep_atou64``
+    analog (src/util.c:525-568): a STRING value for a size-like key
+    (``"roll": "64MB"``, ``"batch_size": "16kb"``) parses through
+    :func:`logpipe_ray.util.parse_size`; a string for a ``*_s``
+    duration key (``"retry_wait_s": "100ms"``) through
+    :func:`~logpipe_ray.util.parse_duration_s`. Numbers pass through;
+    nested dicts/lists normalize recursively."""
+    from logpipe_ray.util import parse_duration_s, parse_size
+
+    out: dict = {}
+    for k, v in d.items():
+        if isinstance(v, dict):
+            out[k] = normalize_units(v)
+        elif isinstance(v, list):
+            out[k] = [normalize_units(x) if isinstance(x, dict) else x for x in v]
+        elif isinstance(v, str) and k in _SIZE_KEYS:
+            out[k] = parse_size(v)
+        elif isinstance(v, str) and k.endswith(_DURATION_KEYS_SUFFIX):
+            out[k] = parse_duration_s(v)
+        else:
+            out[k] = v
+    return out
+
+
 def build_pipeline(spec: str | dict) -> Any:
     """Build and return the pipeline's result (Dataset or sink output)."""
-    spec = load_spec(spec)
+    spec = normalize_units(load_spec(spec))
     batch_size = spec.get("batch_size", 8192)
 
     src = dict(spec["source"])

@@ -74,7 +74,11 @@ def enrich_pipeline(
 
 
 def route_and_count(
-    enriched: ray.data.Dataset, out_dir: str, *, batch_size: int = 8192
+    enriched: ray.data.Dataset,
+    out_dir: str,
+    *,
+    batch_size: int = 8192,
+    roll_bytes: int = 256 << 20,
 ) -> ray.data.Dataset:
     """Routed fan-out write + single-pass counters (see run_flagship)."""
     from functools import partial
@@ -82,7 +86,7 @@ def route_and_count(
     from logpipe_ray.stages.route import write_routed_batch
 
     partials = enriched.map_batches(
-        partial(write_routed_batch, out_dir=out_dir),
+        partial(write_routed_batch, out_dir=out_dir, roll_bytes=roll_bytes),
         batch_format="pyarrow",
         batch_size=batch_size,
     )

@@ -1763,6 +1763,74 @@ def kafka_roundtrip(sf_dir: str):
 
 
 @query(
+    "tcp_roundtrip",
+    """SELECT CAST(doc_id AS BIGINT) AS key_id,
+              CAST(length(text) AS BIGINT) AS n_chars
+       FROM documents""",
+)
+def tcp_roundtrip(sf_dir: str):
+    """Real-wire collector→aggregator topology (logpipe-output-tcp →
+    logpipe-input-tcp): the documents table is framed and SENT over
+    127.0.0.1 sockets by the actor-pool TcpFrameSink (with a session
+    drop injected, exercising reconnect-resend), received by the
+    threaded collector into a merge-by-filename spool, and read back
+    incrementally with DirectoryTailSource. Every doc must come back
+    exactly once with its id and content length intact."""
+    import tempfile
+
+    from logpipe_ray.sources.stream import DirectoryTailSource
+    from logpipe_ray.sources.tcp import TcpFrameSink, start_collector
+
+    spool = tempfile.mkdtemp(prefix="lpr_tcp_spool_")
+    srv = start_collector(spool, fail_next_files=1)
+    try:
+        docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            lambda b: pa.table(
+                {
+                    "source": pc.binary_join_element_wise(
+                        "fwd-",
+                        pc.cast(_pc_mod(b["doc_id"], 4), pa.string()),
+                        ".log",
+                        "",
+                    ),
+                    "line": pc.binary_join_element_wise(
+                        pc.cast(b["doc_id"], pa.string()), b["text"], "\t"
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        docs.map_batches(
+            TcpFrameSink,
+            fn_constructor_args=("127.0.0.1", srv.port),
+            fn_constructor_kwargs={"retry_wait_s": 0.01},
+            batch_format="pyarrow",
+            batch_size=4096,
+            concurrency=2,
+            num_cpus=0.5,
+        ).materialize()
+        tail = DirectoryTailSource(
+            spool, tempfile.mkdtemp(prefix="lpr_tcp_state_"), include=["*.log"]
+        )
+
+        def back(b: pa.Table) -> pa.Table:
+            # split the FIRST tab only (doc text may contain tabs)
+            m = pc.extract_regex(b["line"], r"^(?P<id>\d+)\t(?P<rest>.*)$")
+            return pa.table(
+                {
+                    "key_id": pc.cast(pc.struct_field(m, "id"), pa.int64()),
+                    "n_chars": pc.cast(
+                        pc.utf8_length(pc.struct_field(m, "rest")), pa.int64()
+                    ),
+                }
+            )
+
+        return tail.read().map_batches(back, batch_format="pyarrow")
+    finally:
+        srv.shutdown()
+
+
+@query(
     "events_sliding",
     """SELECT user_id, "window", count(*) AS n_events
        FROM (

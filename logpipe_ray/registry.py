@@ -327,11 +327,18 @@ def _sink_parquet(ds, path: str, **kw):
 
 
 @register_sink("routed_parquet")
-def _sink_routed(ds, out_dir: str, batch_size: int = 8192, **kw):
-    """Per-sink fan-out write + single-pass counters (the flagship sink)."""
+def _sink_routed(ds, out_dir: str, batch_size: int = 8192, roll=None, **kw):
+    """Per-sink fan-out write + single-pass counters (the flagship sink).
+    ``roll`` = size-rotation target per output file (the reference's
+    rotate_size); accepts ``"64MB"``-style suffix strings via
+    config.normalize_units or util.parse_size."""
     from logpipe_ray.pipelines.flagship import route_and_count
+    from logpipe_ray.util import parse_size
 
-    return route_and_count(ds, out_dir, batch_size=batch_size)
+    extra = {}
+    if roll is not None:
+        extra["roll_bytes"] = parse_size(roll)
+    return route_and_count(ds, out_dir, batch_size=batch_size, **extra)
 
 
 @register_sink("counters")
@@ -387,6 +394,29 @@ def _sink_es(ds, url: str, **kw):
     return fold_partials(
         partials, "sink", ["n_docs", "n_posts", "n_retries", "n_http_errors"]
     )
+
+
+@register_sink("tcp")
+def _sink_tcp(ds, host: str, port: int, **kw):
+    """Real TCP frame forwarder (logpipe-output-tcp analog): actor pool
+    of persistent sockets sending '@'-framed files with ack +
+    reconnect-resend; see sources/tcp.py."""
+    from logpipe_ray.sources.tcp import TcpFrameSink
+    from logpipe_ray.stages.smallagg import fold_partials
+    from logpipe_ray.util import pool_size
+
+    batch_size = kw.pop("batch_size", 8192)
+    concurrency = kw.pop("concurrency", pool_size(per_actor_cpus=0.5, cap=8))
+    partials = ds.map_batches(
+        TcpFrameSink,
+        fn_constructor_args=(host, port),
+        fn_constructor_kwargs=kw,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )
+    return fold_partials(partials, "source", "n_lines")
 
 
 @register_sink("stdout")

@@ -23,6 +23,37 @@ def expand_path_template(template: str, when: "datetime.datetime") -> str:
     )
 
 
+def parse_size(v: "str | int | float") -> int:
+    """``size64_atou64`` analog (src/util.c:525-546): ``"64MB"`` →
+    bytes. Case-insensitive ``b/kb/mb/gb`` suffixes (binary, ×1024) +
+    bare numbers; ``tb`` added (the reference stops at gb). Fractions
+    allowed (``"0.5gb"``). Raises on an unknown suffix instead of the
+    reference's silent UINT64_MAX."""
+    if isinstance(v, (int, float)):
+        return int(v)
+    s = v.strip().lower()
+    mult = {"b": 1, "kb": 1 << 10, "mb": 1 << 20, "gb": 1 << 30, "tb": 1 << 40}
+    for suf in ("tb", "gb", "mb", "kb", "b"):
+        if s.endswith(suf):
+            return int(float(s[: -len(suf)]) * mult[suf])
+    return int(float(s))
+
+
+def parse_duration_s(v: "str | int | float") -> float:
+    """``usleep_atou64`` analog (src/util.c:549-568), normalized to
+    SECONDS (the natural unit batch-side): ``"100ms"`` → 0.1,
+    ``"2s"`` → 2.0, ``"500us"`` → 5e-4; a bare number is seconds
+    (the reference's bare unit is µs only because its sleeps are
+    usleep calls). Raises on an unknown suffix."""
+    if isinstance(v, (int, float)):
+        return float(v)
+    s = v.strip().lower()
+    for suf, mult in (("ms", 1e-3), ("us", 1e-6), ("m", 60.0), ("h", 3600.0), ("s", 1.0)):
+        if s.endswith(suf):
+            return float(s[: -len(suf)]) * mult
+    return float(s)
+
+
 def cluster_cpus(default: int = 8, retries: int = 20) -> int:
     """Total cluster CPUs, retrying briefly: right after ``ray.init`` the
     GCS may not have registered resources yet and ``cluster_resources()``

@@ -151,3 +151,58 @@ def test_gbk_encoded_spec_file(tmp_path):
     p2 = tmp_path / "utf8.json"
     p2.write_bytes(json.dumps(spec, ensure_ascii=False).encode("utf-8"))
     assert load_spec(str(p2)) == spec
+
+
+def test_unit_suffix_parsing():
+    """size64_atou64 / usleep_atou64 analogs (src/util.c:525-568)."""
+    from logpipe_ray.util import parse_duration_s, parse_size
+
+    assert parse_size("64MB") == 64 << 20
+    assert parse_size("16kb") == 16 << 10
+    assert parse_size("0.5gb") == 1 << 29
+    assert parse_size("2TB") == 2 << 40
+    assert parse_size("123b") == 123
+    assert parse_size("4096") == 4096
+    assert parse_size(8192) == 8192
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        parse_size("10xb")
+    assert parse_duration_s("100ms") == _pt.approx(0.1)
+    assert parse_duration_s("2s") == 2.0
+    assert parse_duration_s("500us") == _pt.approx(5e-4)
+    assert parse_duration_s("1.5m") == 90.0
+    assert parse_duration_s(3) == 3.0
+
+
+def test_config_unit_normalization(sf_dir, tmp_path):
+    """A config-driven user can write '\"roll\": \"64MB\"' /
+    '\"batch_size\": \"16kb\"' — normalize_units converts them before
+    kinds see the values, and the routed sink honors roll."""
+    from logpipe_ray.config import normalize_units
+
+    spec = {
+        "batch_size": "16kb",
+        "source": {"kind": "sequences", "sf_dir": sf_dir},
+        "sink": {"kind": "routed_parquet", "out_dir": "x", "roll": "64MB"},
+        "stages": [{"kind": "grep", "pattern": "web", "text_col": "source"}],
+    }
+    n = normalize_units(spec)
+    assert n["batch_size"] == 16 << 10
+    assert n["sink"]["roll"] == 64 << 20
+    assert n["stages"][0]["pattern"] == "web"  # non-unit strings untouched
+
+    out = str(tmp_path / "routed")
+    spec2 = {
+        "source": {"kind": "sequences", "sf_dir": sf_dir},
+        "stages": [{"kind": "cut_route_key"}, {"kind": "enrich"}],
+        "sink": {"kind": "routed_parquet", "out_dir": out, "roll": "1MB"},
+        "batch_size": "8kb",
+    }
+    counters = build_pipeline(spec2).to_pandas()
+    assert counters["n_rows"].sum() > 0
+    import glob as _g
+    import os as _os
+
+    files = _g.glob(f"{out}/sink=*/part-*.parquet")
+    assert files and all(_os.path.getsize(f) < (4 << 20) for f in files)
