@@ -499,6 +499,7 @@ _DRIVER_PRIORITY = [
     "events_asof",
     "events_cumsum",
     "events_lag_diff",
+    "events_user_journey",
     "kafka_log_source",
     "tail_dedup_ingest",
     "events_json_extract",
@@ -508,7 +509,6 @@ _DRIVER_PRIORITY = [
     "events_band_join",
     "events_moments",
     "text_normalize",
-    "events_user_journey",
     "csv_source",
     "word_topk_mg",
     "dedup_substr",

@@ -2595,29 +2595,52 @@ def events_user_journey(sf_dir: str):
     """Ordered per-key list aggregation (collect_list ORDER BY ts): each
     user's full event-type sequence as one delimited string — the
     sessionless 'user journey' shape sequence-model training data wants.
-    Keyed shuffle moves only (user, ts, id, type) tuples; the per-group
-    sort+join runs inside map_groups with a typed schema."""
+    Keyed shuffle moves only (user, ts, id, type) tuples; one
+    sort(user) co-locates, then the whole-block lexsort + run-offset
+    ListArray + pc.binary_join kernel builds EVERY user's journey in
+    one vectorized pass (the window-family shape, BASELINE.md r4 —
+    no per-group pandas, no Python string joins)."""
     import numpy as np
-    import pandas as pd
 
-    from logpipe_ray.stages.smallagg import map_groups_typed
+    from logpipe_ray.stages.smallagg import run_starts
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
-
-    def per_user(g: "pd.DataFrame") -> "pd.DataFrame":
-        g = g.sort_values(["ts", "event_id"])
-        return pd.DataFrame(
-            {
-                "user_id": np.asarray([g["user_id"].iloc[0]], dtype=np.int64),
-                "journey": [">".join(g["event_type"])],
-                "n_events": np.asarray([len(g)], dtype=np.int64),
-            }
-        )
-
     schema = pa.schema(
         [("user_id", pa.int64()), ("journey", pa.string()), ("n_events", pa.int64())]
     )
-    return map_groups_typed(ds, "user_id", per_user, schema)
+
+    def kernel(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return schema.empty_table()
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        ts = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        et = b["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        order = np.lexsort((eid, ts, u))
+        us = u[order]
+        et_sorted = et.take(pa.array(order))
+        starts = run_starts(us)
+        offsets = np.concatenate((starts, [n])).astype(np.int32)
+        journeys = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), et_sorted),
+            ">",
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(us[starts], type=pa.int64()),
+                "journey": journeys,
+                "n_events": pa.array(
+                    np.diff(offsets).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    return ds.sort("user_id").map_batches(
+        kernel, batch_format="pyarrow", batch_size=None
+    )
 
 
 @query(
