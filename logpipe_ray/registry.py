@@ -384,11 +384,13 @@ def _sink_es(ds, url: str, **kw):
         concurrency=concurrency,
         num_cpus=0.5,
     ).map_batches(
+        # both branches MUST emit the same column order (sink appended
+        # LAST) — mismatched orders would crash the fold's concat
         lambda b: b.append_column(
             "sink", pa.array(["es"] * b.num_rows, type=pa.string())
         )
         if b.num_rows
-        else PARTIAL_SCHEMA.insert(0, pa.field("sink", pa.string())).empty_table(),
+        else PARTIAL_SCHEMA.append(pa.field("sink", pa.string())).empty_table(),
         batch_format="pyarrow",
     )
     return fold_partials(

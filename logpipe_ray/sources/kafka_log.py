@@ -194,15 +194,22 @@ class MessageLogSource:
         return ds
 
     def commit(self) -> None:
-        """Durably advance every partition's offsets (atomic per partition)."""
+        """Durably advance every partition's offsets (atomic per partition).
+
+        Ordinals persist BEFORE the tail offsets: a crash between the
+        two re-reads the increment under the SAME ordinals (idempotent
+        replay). The reverse order would mark segments consumed while
+        losing their ordinal assignment — a later segment could then be
+        assigned an already-delivered ordinal, breaking the monotone-
+        offset invariant permanently."""
         for p, tail in sorted(self._tails.items()):
-            tail.commit()
             if self._pending_ordinals and p in self._pending_ordinals:
                 os.makedirs(self._state_dirs[p], exist_ok=True)
                 tmp = self._ordinals_path(p) + ".tmp"
                 with open(tmp, "w") as f:
                     json.dump(self._pending_ordinals[p], f)
                 os.replace(tmp, self._ordinals_path(p))
+            tail.commit()
         self._pending_ordinals = None
 
 
@@ -289,12 +296,12 @@ class MessageLogSink:
             if buf is not None:
                 h.update(buf)
         seg = int.from_bytes(h.digest(), "big")
+        from logpipe_ray.util import join_lines
+
         counts: dict[int, int] = {}
         for p in np.unique(part).tolist():
             sub = lines.filter(pa.array(part == p))
-            payload = pc.binary_join(
-                pa.ListArray.from_arrays([0, len(sub)], sub), "\n"
-            )[0].as_py() + "\n"
+            payload = join_lines(sub)
             d = os.path.join(self.topic_dir, f"partition={p}")
             os.makedirs(d, exist_ok=True)
             final = os.path.join(d, f"segment-{seg:020d}.log")

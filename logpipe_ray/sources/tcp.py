@@ -106,19 +106,15 @@ class TcpFrameSink:
         self.n_retries = 0
 
     def _connect(self) -> None:
-        last: Exception | None = None
-        for _ in range(self.max_retries):
-            try:
-                self._sock = socket.create_connection(self.addr, timeout=10)
-                return
-            except OSError as e:
-                last = e
-                self._sock = None
-                time.sleep(self.retry_wait_s)
-        raise ConnectionError(f"tcp sink: cannot connect to {self.addr}") from last
+        """ONE connection attempt — the retry budget belongs to the
+        _send_frame loop alone (an inner retry loop here would multiply
+        to max_retries² attempts against a down endpoint)."""
+        self._sock = socket.create_connection(self.addr, timeout=10)
 
     def _send_frame(self, frame: bytes) -> None:
-        for attempt in range(self.max_retries + 1):
+        """Same loop shape as stages/es_sink.EsBulkSink._post."""
+        last: Exception | None = None
+        for _ in range(self.max_retries + 1):
             try:
                 if self._sock is None:
                     self._connect()
@@ -127,16 +123,18 @@ class TcpFrameSink:
                 if ack != b"+":
                     raise OSError("connection closed before ack")
                 return
-            except OSError:
+            except OSError as e:
+                last = e
                 try:
                     if self._sock is not None:
                         self._sock.close()
                 finally:
                     self._sock = None
                 self.n_retries += 1
-                if attempt >= self.max_retries:
-                    raise
                 time.sleep(self.retry_wait_s)
+        raise ConnectionError(
+            f"tcp sink: {self.addr} unreachable after {self.max_retries} retries"
+        ) from last
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         schema = pa.schema([("source", pa.string()), ("n_lines", pa.int64())])
@@ -155,16 +153,14 @@ class TcpFrameSink:
 
         codes = enc.indices.to_numpy(zero_copy_only=False)
         out_src, out_n = [], []
+        from logpipe_ray.util import join_lines
+
         for code, name in enumerate(enc.dictionary.to_pylist()):
             sub = lines.filter(pa.array(codes == code))
-            payload = (
-                pc.binary_join(
-                    pa.ListArray.from_arrays([0, len(sub)], sub), "\n"
-                )[0].as_py()
-                + "\n"
-            ).encode()
             self._send_frame(
-                frame_file(name, payload, block_bytes=self.block_bytes)
+                frame_file(
+                    name, join_lines(sub).encode(), block_bytes=self.block_bytes
+                )
             )
             out_src.append(name)
             out_n.append(len(sub))

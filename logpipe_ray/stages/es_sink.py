@@ -158,26 +158,20 @@ class EsBulkSink:
     # -- connection management (ConnectElasticSearchServer analog) ----------
 
     def _connect(self) -> None:
-        last: Exception | None = None
-        for _ in range(self.max_retries):
-            try:
-                self._conn = http.client.HTTPConnection(
-                    self.host, self.port, timeout=self.timeout_s
-                )
-                self._conn.connect()
-                return
-            except OSError as e:  # pragma: no cover - depends on timing
-                last = e
-                self._conn = None
-                time.sleep(self.retry_wait_s)
-        raise ConnectionError(
-            f"es sink: cannot connect to {self.host}:{self.port}"
-        ) from last
+        """ONE connection attempt — the retry budget belongs to the
+        _post loop alone (an inner retry loop here would multiply to
+        max_retries² attempts against a down endpoint)."""
+        self._conn = http.client.HTTPConnection(
+            self.host, self.port, timeout=self.timeout_s
+        )
+        self._conn.connect()
 
     def _post(self, body: bytes) -> None:
         """POST one bulk body; reconnect-and-RESEND on transport failure
-        (the reference's _GOTO_RESEND loop), log-only on HTTP errors."""
-        for attempt in range(self.max_retries + 1):
+        (the reference's _GOTO_RESEND loop), log-only on HTTP errors.
+        Same loop shape as sources/tcp.TcpFrameSink._send_frame."""
+        last: Exception | None = None
+        for _ in range(self.max_retries + 1):
             try:
                 if self._conn is None:
                     self._connect()
@@ -192,17 +186,20 @@ class EsBulkSink:
                 if resp.status // 100 != 2:
                     self.n_http_errors += 1  # logged, not retried (:449-457)
                 return
-            except (http.client.HTTPException, OSError):
+            except (http.client.HTTPException, OSError) as e:
                 # transport failure: close, reconnect, resend same buffer
+                last = e
                 try:
                     if self._conn is not None:
                         self._conn.close()
                 finally:
                     self._conn = None
                 self.n_retries += 1
-                if attempt >= self.max_retries:
-                    raise
                 time.sleep(self.retry_wait_s)
+        raise ConnectionError(
+            f"es sink: {self.host}:{self.port} unreachable after "
+            f"{self.max_retries} retries"
+        ) from last
 
     # -- batch delivery ------------------------------------------------------
 
@@ -243,19 +240,14 @@ class EsBulkSink:
         bounds = np.concatenate(
             ([0], np.flatnonzero(np.diff(chunk_of)) + 1, [len(lines)])
         )
+        from logpipe_ray.util import join_lines
+
         r0, h0 = self.n_retries, self.n_http_errors
         n_posts = 0
         for s, e in zip(bounds[:-1], bounds[1:]):
             if e <= s:
                 continue
-            sub = lines.slice(s, e - s)
-            body = (
-                pc.binary_join(
-                    pa.ListArray.from_arrays([0, len(sub)], sub), "\n"
-                )[0].as_py()
-                + "\n"
-            ).encode()
-            self._post(body)
+            self._post(join_lines(lines.slice(s, e - s)).encode())
             n_posts += 1
         return pa.table(
             {

@@ -103,6 +103,15 @@ def _np(col) -> np.ndarray:
     return col.to_numpy(zero_copy_only=False)
 
 
+def _ticks_per_second(t: pa.DataType) -> int:
+    """Integer ticks per second for a timestamp column — the gap
+    threshold must scale with the column's unit (a hardcoded 1e6 would
+    silently mis-sessionize timestamp[ms]/[ns] inputs)."""
+    if pa.types.is_timestamp(t):
+        return {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[t.unit]
+    raise TypeError(f"expected a timestamp column, got {t}")
+
+
 def sessionize(
     ds: ray.data.Dataset,
     *,
@@ -136,6 +145,7 @@ def sessionize(
         n = b.num_rows
         if n == 0:
             return out_schema.empty_table()
+        gap_ticks = gap_s * _ticks_per_second(b[ts_col].type)
         keys = _np(b[key_col]).astype(np.int64, copy=False)
         ts_us = _np(pc.cast(b[ts_col], pa.int64()))
         cents = cents_half_away(_np(b[value_col]))
@@ -148,7 +158,7 @@ def sessionize(
         gap = np.empty(n, dtype=np.int64)
         gap[0] = 0
         gap[1:] = ts_us[1:] - ts_us[:-1]
-        new_sess |= gap > gap_s * 1_000_000
+        new_sess |= gap > gap_ticks
         sess_starts = np.flatnonzero(new_sess)
         # per-key 0-based session ids: global session counter minus its
         # value at the key's first session

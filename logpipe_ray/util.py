@@ -54,6 +54,24 @@ def parse_duration_s(v: "str | int | float") -> float:
     return float(s)
 
 
+def join_lines(arr, sep: str = "\n") -> str:
+    """Join a string Array into one ``sep``-terminated payload with ONE
+    arrow ``binary_join`` kernel — no per-row Python. Shared by the
+    message-log, ES and TCP sinks (the line-framing half of every
+    text-protocol transport here)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if len(arr) == 0:
+        return ""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return (
+        pc.binary_join(pa.ListArray.from_arrays([0, len(arr)], arr), sep)[0].as_py()
+        + sep
+    )
+
+
 def cluster_cpus(default: int = 8, retries: int = 20) -> int:
     """Total cluster CPUs, retrying briefly: right after ``ray.init`` the
     GCS may not have registered resources yet and ``cluster_resources()``

@@ -188,6 +188,46 @@ class TestMessageLogSink:
         got = {(r["key"], r["value"]) for r in src.read().take_all()}
         assert got == {(None, "bare"), ("k", "keyed")}
 
+    def test_commit_crash_between_ordinals_and_offsets(
+        self, ray_session, tmp_path
+    ):
+        """commit() persists ordinals BEFORE tail offsets: a crash
+        between the two (simulated by deleting the tail's offsets.json
+        after a full commit) replays the same increment under the SAME
+        ordinals — identical offsets, monotonicity preserved."""
+        import os
+
+        import pyarrow as pa
+
+        from logpipe_ray.sources.kafka_log import MessageLogSink
+
+        topic = str(tmp_path / "topic_crash")
+        sink = MessageLogSink(topic, partitions=1)
+        sink(pa.table({"key": ["a"], "value": ["v1"]}))
+        st = str(tmp_path / "st_crash")
+        src = MessageLogSource(topic, st)
+        first = {(r["offset"], r["value"]) for r in src.read().take_all()}
+        src.commit()
+        # crash window: ordinals persisted, tail offsets lost
+        [offsets_json] = [
+            os.path.join(d, f)
+            for d, _, fs in os.walk(st)
+            for f in fs
+            if f == "offsets.json"
+        ]
+        os.remove(offsets_json)
+        src2 = MessageLogSource(topic, st)
+        replay = {(r["offset"], r["value"]) for r in src2.read().take_all()}
+        assert replay == first  # same ordinals → same offsets
+        src2.commit()
+        # and a NEW segment still gets a strictly larger ordinal
+        sink(pa.table({"key": ["b"], "value": ["v2"]}))
+        src3 = MessageLogSource(topic, st)
+        [(off, val)] = [
+            (r["offset"], r["value"]) for r in src3.read().take_all()
+        ]
+        assert val == "v2" and off > max(o for o, _ in first)
+
     def test_segment_write_idempotent(self, ray_session, tmp_path):
         """Re-producing the same batch overwrites the same segment
         (content-hash names) — a task retry cannot duplicate messages."""

@@ -101,8 +101,11 @@ def test_ray_pipeline_over_the_wire(ray_session, collector, tmp_path):
     assert sorted(r["line"] for r in got) == sorted(
         f"line-{i:04d}" for i in range(600)
     )
-    # per-file attribution preserved across the wire
-    assert all(r["source"][0] == r["line"][-4:][0] or True for r in got)
+    # per-file attribution preserved across the wire: row i was sent to
+    # '{'abc'[i % 3]}.log', so every spooled line must sit in its file
+    for r in got:
+        i = int(r["line"].split("-")[1])
+        assert r["source"] == f"{'abc'[i % 3]}.log", r
     by_src = {}
     for r in got:
         by_src.setdefault(r["source"], []).append(r["line"])
