@@ -445,7 +445,7 @@ _DRIVER_PRIORITY = [
     "es_bulk_delivery",
     "tcp_roundtrip",
     "semantic_dedup",
-    "kafka_roundtrip",
+    "doc_lm_familiarity",
     # the 46 with no r3 driver row: flagship contract first
     "seq_enrich",
     "seq_counters",
@@ -495,6 +495,7 @@ _DRIVER_PRIORITY = [
     "multimodal_resize",
     "multimodal_frames",
     # remaining r4-changed (after the 46 — sampled if the prefix runs long)
+    "kafka_roundtrip",
     "events_session",
     "events_asof",
     "events_cumsum",

@@ -1259,6 +1259,39 @@ def bigram_topk(sf_dir: str):
 
 
 @query(
+    "doc_lm_familiarity",
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       bg AS (SELECT doc_id,
+                     unnest(list_transform(range(1, len(ws)),
+                                           i -> ws[i] || ' ' || ws[i+1])) AS b
+              FROM ws),
+       cnt AS (SELECT b, count(*) AS n FROM bg GROUP BY b),
+       model AS (SELECT b, n FROM cnt WHERE n >= 5),
+       per_doc AS (
+         SELECT bg.doc_id, count(*) AS n_bg,
+                sum(COALESCE(m.n, 0)) AS fam
+         FROM bg LEFT JOIN model m ON bg.b = m.b
+         GROUP BY bg.doc_id)
+       SELECT d.doc_id,
+              CAST(COALESCE(p.n_bg, 0) AS BIGINT) AS n_bigrams,
+              CAST(COALESCE(p.fam, 0) AS BIGINT) AS familiarity
+       FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""",
+)
+def doc_lm_familiarity(sf_dir: str):
+    """Count-pruned bigram-LM familiarity scoring (the CCNet-style LM
+    quality filter, Wenzek et al. 2019, restated exact-integer): pass 1
+    folds corpus bigram counts and prunes to count ≥ 5 (deterministic,
+    unlike top-K tie-breaking); the pruned model broadcasts once; pass 2
+    scores every doc vectorized (searchsorted + reduceat). Integer
+    familiarity sums are bit-reproducible where float perplexity's
+    log-sum order is not — hence a full SQL oracle."""
+    from logpipe_ray.stages.text_analysis import lm_familiarity_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return lm_familiarity_scores(ds, min_count=5)
+
+
+@query(
     "train_val_split",
     """SELECT doc_id,
               CASE WHEN ((abs(doc_id) % 100000007) * 2654435761) % 100 < 95

@@ -294,3 +294,108 @@ def redact_batch(
         batch.schema.get_field_index(text_col), text_col, red
     )
     return batch.append_column(count_col, n)
+
+
+def _doc_bigrams(batch: pa.Table, text_col: str):
+    """(doc_row_index, bigram_string) arrays for a batch — the shared
+    split/adjacency construction of :func:`bigram_count_partials`.
+    Split semantics mirror DuckDB ``string_split(text, ' ')``."""
+    import pandas as pd
+
+    words = pc.split_pattern(batch[text_col], " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    offsets = words.offsets.to_numpy().astype(np.int64)
+    flat = words.values.to_numpy(zero_copy_only=False)
+    flat = flat[offsets[0] : offsets[-1]]
+    offsets = offsets - offsets[0]
+    n_docs = len(offsets) - 1
+    seg = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(offsets))
+    if len(seg) < 2:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=object)
+    adj = seg[1:] == seg[:-1]
+    bg = (
+        pd.Series(flat[:-1][adj])
+        .str.cat(pd.Series(flat[1:][adj]), sep=" ")
+        .to_numpy(dtype=object)
+    )
+    return seg[:-1][adj], bg
+
+
+def lm_familiarity_scores(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+):
+    """Count-pruned bigram-LM familiarity (the CCNet-style LM quality
+    filter, Wenzek et al. 2019 arXiv:1911.00359, restated exact-integer
+    so results are bit-reproducible across engines — a float
+    perplexity's log-sum order would not be):
+
+    pass 1 builds the LM = every corpus bigram with global count ≥
+    ``min_count`` (count pruning bounds the model: threshold pruning is
+    deterministic where top-K tie-breaking is not, and the model size
+    is vocabulary-, not corpus-, proportional). The model broadcasts
+    once via ``ray.put`` as (sorted keys, counts).
+
+    pass 2 scores every doc in one vectorized pass: familiarity =
+    Σ model_count(bigram) over the doc's adjacent word pairs
+    (out-of-model bigrams contribute 0), plus the bigram count — a
+    downstream filter compares familiarity/n_bigrams. Docs with < 2
+    words score (0, 0).
+
+    Scale shape: only (bigram, n) partials enter the vocabulary
+    shuffle (never the corpus); the pruned model is the only broadcast;
+    scoring is searchsorted + reduceat per block."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(
+        lambda b: bigram_count_partials(b, text_col=text_col),
+        batch_format="pyarrow",
+    )
+    counts = partials.groupby("bigram").aggregate(Sum("n", alias_name="n"))
+    model_tbl = counts.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["n"], min_count)),
+        batch_format="pyarrow",
+    ).materialize()
+    parts = [
+        t
+        for t in _ray.get(model_tbl.to_arrow_refs())
+        if t.num_rows and t.num_columns
+    ]
+    if parts:
+        mt = pa.concat_tables([t.select(["bigram", "n"]) for t in parts])
+        keys = mt["bigram"].to_numpy(zero_copy_only=False).astype(object)
+        vals = mt["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(keys)
+        keys, vals = keys[order], vals[order]
+    else:
+        keys = np.zeros(0, dtype=object)
+        vals = np.zeros(0, dtype=np.int64)
+    model_ref = _ray.put((keys, vals))
+
+    def score(b: pa.Table) -> pa.Table:
+        k, v = _ray.get(model_ref)
+        doc_idx, bg = _doc_bigrams(b, text_col)
+        n = b.num_rows
+        fam = np.zeros(n, dtype=np.int64)
+        nbg = np.zeros(n, dtype=np.int64)
+        if len(bg):
+            np.add.at(nbg, doc_idx, 1)
+            if len(k):
+                pos = np.searchsorted(k, bg)
+                pos_c = np.minimum(pos, len(k) - 1)
+                hit = k[pos_c] == bg
+                np.add.at(fam, doc_idx[hit], v[pos_c[hit]])
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_bigrams": pa.array(nbg, type=pa.int64()),
+                "familiarity": pa.array(fam, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -497,3 +497,36 @@ class TestRemoveDuplicateSpans:
         assert out[0] == ("a b c d e f", 6)      # first occurrence intact
         assert out[2] == ("x y z w", 4)          # copied span cut out
         assert out[3] == ("p q r s t", 5)        # unique untouched
+
+
+class TestLmFamiliarity:
+    def test_pruned_model_scores(self, ray_session):
+        """Bigrams under min_count contribute 0; docs score the sum of
+        their IN-MODEL bigram counts; short docs score (0, 0)."""
+        import ray.data
+
+        from logpipe_ray.stages.text_analysis import lm_familiarity_scores
+
+        docs = (
+            ["the cat sat"] * 4          # 'the cat' x4, 'cat sat' x4
+            + ["the cat ran"]            # 'the cat' 5th, 'cat ran' x1
+            + ["lone"]                   # 0 bigrams
+            + ["completely unique pair"]  # both bigrams count 1
+        )
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+                "text": pa.array(docs),
+            }
+        )
+        out = {
+            r["doc_id"]: (r["n_bigrams"], r["familiarity"])
+            for r in lm_familiarity_scores(
+                ray.data.from_arrow(tbl).repartition(3), min_count=4
+            ).take_all()
+        }
+        # model: 'the cat' (5), 'cat sat' (4); 'cat ran' (1) pruned
+        assert out[0] == (2, 9)   # 5 + 4
+        assert out[4] == (2, 5)   # 5 + 0
+        assert out[5] == (0, 0)
+        assert out[6] == (2, 0)   # both out-of-model
