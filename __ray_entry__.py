@@ -446,6 +446,8 @@ _DRIVER_PRIORITY = [
     "tcp_roundtrip",
     "semantic_dedup",
     "doc_lm_familiarity",
+    "orc_source",
+    "arrow_ipc_source",
     # the 46 with no r3 driver row: flagship contract first
     "seq_enrich",
     "seq_counters",

@@ -2993,6 +2993,93 @@ def csv_source(sf_dir: str):
     return ds.map_batches(prep, batch_format="pyarrow")
 
 
+def _columnar_fixture(sf_dir: str, fmt: str) -> str:
+    """customer table sharded as .orc / .arrow files (same atomic
+    build-then-rename discipline as _csv_fixture)."""
+    import os
+    import shutil
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    d = f"/tmp/lpr_{fmt}_{tag}"
+    marker = os.path.join(d, "_SUCCESS")
+    if os.path.exists(marker):
+        return d
+    tmp = f"{d}.build-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
+    t = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal"],
+    ).sort_by("c_custkey")
+    n_shards = 4
+    per = -(-t.num_rows // n_shards)
+    for s in range(n_shards):
+        sl = t.slice(s * per, per)
+        if fmt == "orc":
+            from pyarrow import orc
+
+            orc.write_table(sl, os.path.join(tmp, f"customer-{s:04d}.orc"))
+        else:
+            from pyarrow import feather
+
+            feather.write_feather(
+                sl, os.path.join(tmp, f"customer-{s:04d}.arrow")
+            )
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+        f.write("ok")
+    shutil.rmtree(d, ignore_errors=True)
+    try:
+        os.rename(tmp, d)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return d
+
+
+_COLUMNAR_ORACLE = """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+       CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+       FROM customer"""
+
+
+def _columnar_prep(b: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "c_custkey": pc.cast(b["c_custkey"], pa.int64()),
+            "c_name": b["c_name"],
+            "c_nationkey": pc.cast(b["c_nationkey"], pa.int64()),
+            "acctbal_cents": _cents(b["c_acctbal"]),
+        }
+    )
+
+
+@query("orc_source", _COLUMNAR_ORACLE)
+def orc_source(sf_dir: str):
+    """Sharded ORC directory source (sources/columnar.read_orc_dir):
+    file-parallel decode tasks, column-pruned at the ORC reader."""
+    from logpipe_ray.sources.columnar import read_orc_dir
+
+    d = _columnar_fixture(sf_dir, "orc")
+    ds = read_orc_dir(
+        d, columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal"]
+    )
+    return ds.map_batches(_columnar_prep, batch_format="pyarrow")
+
+
+@query("arrow_ipc_source", _COLUMNAR_ORACLE)
+def arrow_ipc_source(sf_dir: str):
+    """Sharded Arrow IPC (Feather V2) directory source
+    (sources/columnar.read_ipc_dir): memory-mapped zero-copy decode."""
+    from logpipe_ray.sources.columnar import read_ipc_dir
+
+    d = _columnar_fixture(sf_dir, "ipc")
+    ds = read_ipc_dir(
+        d, columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal"]
+    )
+    return ds.map_batches(_columnar_prep, batch_format="pyarrow")
+
+
 @query(
     "tail_dedup_ingest",
     """WITH appended AS (

@@ -109,6 +109,20 @@ def _src_message_log(topic_dir: str, state_dir: str, **kw):
     return MessageLogSource(topic_dir, state_dir, **kw).read()
 
 
+@register_source("orc")
+def _src_orc(path: str, **kw):
+    from logpipe_ray.sources.columnar import read_orc_dir
+
+    return read_orc_dir(path, **kw)
+
+
+@register_source("arrow_ipc")
+def _src_ipc(path: str, **kw):
+    from logpipe_ray.sources.columnar import read_ipc_dir
+
+    return read_ipc_dir(path, **kw)
+
+
 # --- stages (filters, in reference terms) ----------------------------------
 
 

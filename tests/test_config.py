@@ -206,3 +206,21 @@ def test_config_unit_normalization(sf_dir, tmp_path):
 
     files = _g.glob(f"{out}/sink=*/part-*.parquet")
     assert files and all(_os.path.getsize(f) < (4 << 20) for f in files)
+
+
+def test_orc_and_ipc_source_kinds(sf_dir, tmp_path):
+    """Config pipelines can read ORC / Arrow-IPC directories."""
+    from pyarrow import feather, orc
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(f"{sf_dir}/region.parquet")
+    d1, d2 = tmp_path / "o", tmp_path / "a"
+    d1.mkdir(), d2.mkdir()
+    orc.write_table(t, str(d1 / "r.orc"))
+    feather.write_feather(t, str(d2 / "r.arrow"))
+    for kind, path in (("orc", d1), ("arrow_ipc", d2)):
+        df = build_pipeline(
+            {"source": {"kind": kind, "path": str(path)},
+             "sink": {"kind": "dataset"}}
+        ).to_pandas()
+        assert len(df) == t.num_rows
