@@ -451,6 +451,7 @@ _DRIVER_PRIORITY = [
     "doc_lm_familiarity",
     "orc_source",
     "arrow_ipc_source",
+    "multimodal_audio_real",
     # the 46 with no r3 driver row: flagship contract first
     "seq_enrich",
     "seq_counters",

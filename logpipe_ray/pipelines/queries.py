@@ -1468,6 +1468,59 @@ def multimodal_decode_real(sf_dir: str):
     )
 
 
+@query(
+    "multimodal_audio_real",
+    """WITH p AS (
+         SELECT doc_id, octet_length(encode(text)) AS nb FROM documents
+       ), d AS (
+         SELECT doc_id, 1 + nb % 2048 AS n FROM p
+       ), s AS (
+         SELECT doc_id, n,
+                list_transform(range(0, CAST(n AS INT)),
+                  i -> ((doc_id*1000003 + i*10007) % 65536) - 32768) AS smp
+         FROM d
+       )
+       SELECT doc_id,
+              CAST(n AS BIGINT) AS n_samples,
+              CAST(16000 AS BIGINT) AS sample_rate,
+              CAST(list_aggregate(list_transform(smp, x -> abs(x)), 'sum')
+                   AS BIGINT) AS sum_abs,
+              CAST(COALESCE(list_aggregate(
+                     list_transform(range(1, CAST(n AS INT)),
+                       i -> CASE WHEN (smp[i] < 0) != (smp[i+1] < 0)
+                                 THEN 1 ELSE 0 END), 'sum'), 0)
+                   AS BIGINT) AS zero_crossings
+       FROM s""",
+)
+def multimodal_audio_real(sf_dir: str):
+    """REAL audio decode path (no codec library needed): synthesize
+    valid PCM16 mono WAV payloads per document (vectorized header +
+    sample scatter, stages/multimodal.encode_wav_payload — stdlib
+    ``wave`` reads them back byte-exact, proven in tests), then the
+    actor-pool WavDecode parses the RIFF header and EVERY sample out of
+    the Arrow data buffer and emits integer features (Σ|sample|,
+    zero-crossing count). The oracle recomputes all features from the
+    deterministic synth formula in SQL — the values must round-trip
+    through real audio bytes."""
+    from logpipe_ray.stages.multimodal import WavDecode, encode_wav_payload
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(encode_wav_payload, batch_format="pyarrow", batch_size=2048)
+    decoded = ds.map_batches(
+        WavDecode,
+        batch_format="pyarrow",
+        concurrency=2,
+        num_cpus=0.5,
+        batch_size=2048,
+    )
+    return decoded.map_batches(
+        lambda b: b.select(
+            ["doc_id", "n_samples", "sample_rate", "sum_abs", "zero_crossings"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Log-file text source (file → lines with per-stream counters)
 # ---------------------------------------------------------------------------

@@ -244,3 +244,164 @@ class FrameSampleStub:
                 "frame": frames,
             }
         )
+
+
+def encode_wav_payload(
+    batch: pa.Table,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "payload",
+    sample_rate: int = 16000,
+) -> pa.Table:
+    """Synthesize VALID PCM16 mono WAV files as the payload column —
+    real, stdlib-``wave``-readable audio bytes built without any codec
+    library (the audio sibling of :func:`encode_bmp_payload`).
+
+    Deterministic content so an SQL oracle can recompute every decoded
+    feature: n_samples = 1 + n_bytes(text) % 2048 and
+    sample[i] = ((doc_id·1000003 + i·10007) mod 65536) − 32768.
+    Fully vectorized: one offsets cumsum, numpy scatter writes for the
+    RIFF/fmt/data headers, one flat int16 synth + one byte scatter for
+    all sample payloads."""
+    n = batch.num_rows
+    nb = (
+        pc.binary_length(pc.cast(batch[text_col], pa.binary()))
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    did = pc.cast(batch[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+    ns = 1 + nb % 2048
+    data_bytes = 2 * ns
+    total = 44 + data_bytes
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(total, out=offsets[1:])
+    if offsets[-1] >= 2**31:
+        raise ValueError("batch too large for int32 binary offsets; lower batch_size")
+    buf = np.zeros(offsets[-1], dtype=np.uint8)
+    s = offsets[:-1]
+
+    def put_u32(off: int, val) -> None:
+        v = np.asarray(val, dtype=np.uint32)
+        for k in range(4):
+            buf[s + off + k] = ((v >> (8 * k)) & 0xFF).astype(np.uint8)
+
+    def put_tag(off: int, tag: bytes) -> None:
+        for k, ch in enumerate(tag):
+            buf[s + off + k] = ch
+
+    put_tag(0, b"RIFF")
+    put_u32(4, total - 8)
+    put_tag(8, b"WAVE")
+    put_tag(12, b"fmt ")
+    put_u32(16, 16)  # fmt chunk size
+    buf[s + 20] = 1  # PCM (u16 LE)
+    buf[s + 22] = 1  # mono
+    put_u32(24, sample_rate)
+    put_u32(28, sample_rate * 2)  # byte rate
+    buf[s + 32] = 2  # block align
+    buf[s + 34] = 16  # bits per sample
+    put_tag(36, b"data")
+    put_u32(40, data_bytes)
+    # flat sample synthesis (one pass for the whole batch)
+    flat_starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(ns, out=flat_starts[1:])
+    tot = int(flat_starts[-1])
+    i_within = np.arange(tot, dtype=np.int64) - np.repeat(flat_starts[:-1], ns)
+    did_flat = np.repeat(did, ns)
+    samples = (
+        (did_flat * 1000003 + i_within * 10007) % 65536 - 32768
+    ).astype("<i2")
+    sample_bytes = samples.view(np.uint8)
+    byte_within = np.arange(2 * tot, dtype=np.int64) - np.repeat(
+        2 * flat_starts[:-1], 2 * ns
+    )
+    dst = np.repeat(s + 44, 2 * ns) + byte_within
+    buf[dst] = sample_bytes
+    payload = pa.Array.from_buffers(
+        pa.binary(),
+        n,
+        [None, pa.py_buffer(offsets.astype(np.int32)), pa.py_buffer(buf)],
+    )
+    return batch.append_column(out_col, payload)
+
+
+class WavDecode:
+    """Actor-pool REAL audio decode + feature extraction for PCM16 mono
+    WAV payloads — header fields and every sample parsed straight out
+    of the Arrow data buffer with vectorized numpy gathers (no codec
+    library, no per-row Python). Emits integer features so results are
+    bit-reproducible: n_samples, sample_rate, sum_abs (Σ|sample|),
+    zero_crossings (sign changes between consecutive samples).
+    Compressed audio (mp3/ogg/flac) needs codecs this container
+    doesn't ship — non-WAV payloads raise instead of silently faking
+    (same honesty rule as DecodeStub's BMP-only real path)."""
+
+    def __init__(self, *, payload_col: str = "payload"):
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch.append_column(
+                "n_samples", pa.array([], type=pa.int64())
+            ).append_column(
+                "sample_rate", pa.array([], type=pa.int64())
+            ).append_column(
+                "sum_abs", pa.array([], type=pa.int64())
+            ).append_column(
+                "zero_crossings", pa.array([], type=pa.int64())
+            )
+        offsets, data = _binary_view(batch[self.payload_col])
+        s = offsets[:-1]
+        lens = np.diff(offsets)
+        if (lens < 44).any():
+            raise ValueError("payload too short for a WAV header")
+        for off, tag in ((0, b"RIFF"), (8, b"WAVE"), (36, b"data")):
+            for k, ch in enumerate(tag):
+                if not (data[s + off + k] == ch).all():
+                    raise ValueError(
+                        "real decode supports PCM16 WAV only in this "
+                        "container (no codec libs)"
+                    )
+        hdr = data[s[:, None] + np.arange(24, 28)].astype(np.uint32)
+        rate = (hdr[:, 0] | hdr[:, 1] << 8 | hdr[:, 2] << 16 | hdr[:, 3] << 24).astype(np.int64)
+        dz = data[s[:, None] + np.arange(40, 44)].astype(np.uint32)
+        data_bytes = (dz[:, 0] | dz[:, 1] << 8 | dz[:, 2] << 16 | dz[:, 3] << 24).astype(np.int64)
+        if ((data_bytes & 1) != 0).any() or (44 + data_bytes > lens).any():
+            raise ValueError("corrupt data chunk size")
+        ns = data_bytes // 2
+        flat_starts = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(ns, out=flat_starts[1:])
+        tot = int(flat_starts[-1])
+        byte_within = np.arange(2 * tot, dtype=np.int64) - np.repeat(
+            2 * flat_starts[:-1], 2 * ns
+        )
+        src = np.repeat(s + 44, 2 * ns) + byte_within
+        samples = data[src].view("<i2").astype(np.int64)
+        # reduceat index clamp: a trailing zero-sample doc would index
+        # one past the end (its value is zeroed by the ns>0 mask below)
+        red_idx = np.minimum(flat_starts[:-1], max(tot - 1, 0))
+        sum_abs = (
+            np.add.reduceat(np.abs(samples), red_idx)
+            if tot
+            else np.zeros(n, dtype=np.int64)
+        )
+        sum_abs = np.where(ns > 0, sum_abs, 0)
+        neg = samples < 0
+        change = np.zeros(tot, dtype=np.int64)
+        if tot > 1:
+            change[1:] = (neg[1:] != neg[:-1]).astype(np.int64)
+        change[flat_starts[:-1][ns > 0]] = 0  # no cross-doc crossings
+        zc = (
+            np.add.reduceat(change, red_idx)
+            if tot
+            else np.zeros(n, dtype=np.int64)
+        )
+        zc = np.where(ns > 0, zc, 0)
+        batch = batch.append_column("n_samples", pa.array(ns, type=pa.int64()))
+        batch = batch.append_column("sample_rate", pa.array(rate, type=pa.int64()))
+        batch = batch.append_column("sum_abs", pa.array(sum_abs, type=pa.int64()))
+        return batch.append_column(
+            "zero_crossings", pa.array(zc, type=pa.int64())
+        )
