@@ -445,13 +445,12 @@ def entry() -> Any:
 # the 49 r3-green rows take the tail.
 _DRIVER_PRIORITY = [
     # new / changed this round (highest risk first)
+    # (exactly 4: the 46 r3-unsampled queries below must stay inside
+    # the driver's ~50-prefix — remaining new queries follow the 46)
     "es_bulk_delivery",
     "tcp_roundtrip",
     "semantic_dedup",
     "doc_lm_familiarity",
-    "orc_source",
-    "arrow_ipc_source",
-    "multimodal_audio_real",
     # the 46 with no r3 driver row: flagship contract first
     "seq_enrich",
     "seq_counters",
@@ -500,7 +499,10 @@ _DRIVER_PRIORITY = [
     "train_val_split",
     "multimodal_resize",
     "multimodal_frames",
-    # remaining r4-changed (after the 46 — sampled if the prefix runs long)
+    # remaining r4-new/changed (after the 46 — sampled if the prefix runs long)
+    "orc_source",
+    "arrow_ipc_source",
+    "multimodal_audio_real",
     "kafka_roundtrip",
     "events_session",
     "events_asof",
