@@ -297,29 +297,26 @@ def redact_batch(
 
 
 def _doc_bigrams(batch: pa.Table, text_col: str):
-    """(doc_row_index, bigram_string) arrays for a batch — the shared
-    split/adjacency construction of :func:`bigram_count_partials`.
-    Split semantics mirror DuckDB ``string_split(text, ' ')``."""
-    import pandas as pd
-
+    """(doc_row_index int64[], bigram pa.StringArray) for a batch — the
+    split/adjacency construction of :func:`bigram_count_partials`, kept
+    arrow-native end to end (the pandas str.cat + object-array variant
+    measured 2-3× slower per fragment at 1M docs). Split semantics
+    mirror DuckDB ``string_split(text, ' ')``."""
     words = pc.split_pattern(batch[text_col], " ")
     if isinstance(words, pa.ChunkedArray):
         words = words.combine_chunks()
     offsets = words.offsets.to_numpy().astype(np.int64)
-    flat = words.values.to_numpy(zero_copy_only=False)
-    flat = flat[offsets[0] : offsets[-1]]
-    offsets = offsets - offsets[0]
     n_docs = len(offsets) - 1
+    flat = words.values.slice(offsets[0], offsets[-1] - offsets[0])
+    offsets = offsets - offsets[0]
     seg = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(offsets))
     if len(seg) < 2:
-        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=object)
-    adj = seg[1:] == seg[:-1]
-    bg = (
-        pd.Series(flat[:-1][adj])
-        .str.cat(pd.Series(flat[1:][adj]), sep=" ")
-        .to_numpy(dtype=object)
-    )
-    return seg[:-1][adj], bg
+        return np.zeros(0, dtype=np.int64), pa.array([], type=pa.string())
+    adj = pa.array(seg[1:] == seg[:-1])
+    left = flat.slice(0, len(flat) - 1).filter(adj)
+    right = flat.slice(1).filter(adj)
+    bg = pc.binary_join_element_wise(left, right, " ")
+    return seg[:-1][adj.to_numpy(zero_copy_only=False)], bg
 
 
 def lm_familiarity_scores(
@@ -346,21 +343,95 @@ def lm_familiarity_scores(
     downstream filter compares familiarity/n_bigrams. Docs with < 2
     words score (0, 0).
 
-    Scale shape: only (bigram, n) partials enter the vocabulary
-    shuffle (never the corpus); the pruned model is the only broadcast;
-    scoring is searchsorted + reduceat per block."""
+    Scale shape: only (bigram, n) partials enter any shuffle (never the
+    corpus), and the EXPENSIVE keyed aggregation runs over int64
+    content hashes, not strings — the long unique-bigram tail makes a
+    direct string groupby a giant string sort (measured 224 s for a
+    929-row model at 1M docs; the hash plan runs the same corpus in
+    ~16 s). Exactness is preserved by a string-level recount of the
+    hash survivors: a 64-bit collision can only ADD a sub-threshold
+    candidate (hash-count ≥ its true string count), never drop a real
+    one, and the recount prunes it exactly. The pruned model is the
+    only broadcast; scoring is one C++ hash probe (pc.index_in) +
+    np.add.at per block."""
+    import pandas as pd
     import ray as _ray
-    from ray.data.aggregate import Sum
 
-    partials = ds.map_batches(
-        lambda b: bigram_count_partials(b, text_col=text_col),
-        batch_format="pyarrow",
+    def hashed_partials(b: pa.Table) -> pa.Table:
+        p = bigram_count_partials(b, text_col=text_col)
+        h = pd.util.hash_array(
+            p["bigram"].to_numpy(zero_copy_only=False)
+        ).view(np.int64)
+        return p.append_column("h", pa.array(h, type=pa.int64()))
+
+    # the hash pass and the recount pass each RECOMPUTE the partials
+    # from the corpus instead of materializing them: the partial set is
+    # corpus-bigram-proportional (355M string rows at 10M docs — a
+    # multi-GB object-store pin that measured WORSE than the second
+    # scan), and recompute keeps both passes streaming
+    partials = ds.map_batches(hashed_partials, batch_format="pyarrow")
+
+    # pass 1a: candidate hashes via sorted_runs_fold over int64 hashes —
+    # distinct corpus bigrams are UNBOUNDED (hundreds of millions at
+    # 10M docs), so neither Ray's sort-based groupby (203 s at a mere
+    # 35M partial rows) nor a one-block fold (the CLAUDE.md bounded-
+    # cardinality gotcha — one multi-GB block) survives scale. The
+    # volume-bounded int sort co-locates each hash (single-column sort:
+    # equal keys never split), letting the combine THRESHOLD in place
+    # and emit only candidate hashes — result-sized output, no
+    # all-distinct table ever exists anywhere.
+    from logpipe_ray.stages.smallagg import (
+        fold_partials,
+        run_starts,
+        sorted_runs_fold,
     )
-    counts = partials.groupby("bigram").aggregate(Sum("n", alias_name="n"))
-    model_tbl = counts.map_batches(
-        lambda b: b.filter(pc.greater_equal(b["n"], min_count)),
-        batch_format="pyarrow",
-    ).materialize()
+
+    def cand_combine(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"h": pa.array([], type=pa.int64())})
+        h = b["h"].to_numpy(zero_copy_only=False)
+        nv = b["n"].to_numpy(zero_copy_only=False)
+        starts = run_starts(h)
+        sums = np.add.reduceat(nv, starts)
+        keep = sums >= min_count
+        return pa.table({"h": pa.array(h[starts][keep], type=pa.int64())})
+
+    cand_hashes = np.array(
+        sorted_runs_fold(
+            partials.select_columns(["h", "n"]),
+            "h",
+            cand_combine,
+            rows_per_block=4_000_000,
+        ).unique("h")
+        or [],
+        dtype=np.int64,
+    )
+    cand_hashes.sort()
+    cand_ref = _ray.put(cand_hashes)
+
+    # pass 1b: exact string recount of the few candidates (result-sized)
+    def keep_candidates(b: pa.Table) -> pa.Table:
+        ch = _ray.get(cand_ref)
+        h = b["h"].to_numpy(zero_copy_only=False)
+        if len(ch) == 0:
+            return b.select(["bigram", "n"]).slice(0, 0)
+        pos = np.searchsorted(ch, h)
+        hit = (pos < len(ch)) & (ch[np.minimum(pos, len(ch) - 1)] == h)
+        return b.filter(pa.array(hit)).select(["bigram", "n"])
+
+    model_tbl = (
+        fold_partials(
+            partials.map_batches(keep_candidates, batch_format="pyarrow"),
+            "bigram",
+            "n",
+            num_blocks=1,  # candidate-proportional: ≤ model × fragments rows
+        )
+        .map_batches(
+            lambda b: b.filter(pc.greater_equal(b["n"], min_count)),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
     parts = [
         t
         for t in _ray.get(model_tbl.to_arrow_refs())
@@ -368,13 +439,14 @@ def lm_familiarity_scores(
     ]
     if parts:
         mt = pa.concat_tables([t.select(["bigram", "n"]) for t in parts])
-        keys = mt["bigram"].to_numpy(zero_copy_only=False).astype(object)
+        keys = mt["bigram"].combine_chunks()
         vals = mt["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(keys)
-        keys, vals = keys[order], vals[order]
     else:
-        keys = np.zeros(0, dtype=object)
+        keys = pa.array([], type=pa.string())
         vals = np.zeros(0, dtype=np.int64)
+    # arrow arrays broadcast fine through the object store; lookups use
+    # pc.index_in (C++ hash probe — measured 7.7× the object-dtype
+    # np.searchsorted whose probes are per-comparison PyUnicode calls)
     model_ref = _ray.put((keys, vals))
 
     def score(b: pa.Table) -> pa.Table:
@@ -386,10 +458,11 @@ def lm_familiarity_scores(
         if len(bg):
             np.add.at(nbg, doc_idx, 1)
             if len(k):
-                pos = np.searchsorted(k, bg)
-                pos_c = np.minimum(pos, len(k) - 1)
-                hit = k[pos_c] == bg
-                np.add.at(fam, doc_idx[hit], v[pos_c[hit]])
+                pos = pc.fill_null(
+                    pc.index_in(bg, value_set=k), -1
+                ).to_numpy(zero_copy_only=False)
+                hit = pos >= 0
+                np.add.at(fam, doc_idx[hit], v[pos[hit]])
         return pa.table(
             {
                 id_col: b[id_col],
