@@ -3048,7 +3048,9 @@ def csv_source(sf_dir: str):
 
 def _columnar_fixture(sf_dir: str, fmt: str) -> str:
     """customer table sharded as .orc / .arrow files (same atomic
-    build-then-rename discipline as _csv_fixture)."""
+    build-then-rename discipline as _topic_fixture: write into a
+    scratch dir, publish with one rename — _csv_fixture relies only on
+    a last-written _SUCCESS marker and is NOT torn-directory-safe)."""
     import os
     import shutil
     import uuid

@@ -379,26 +379,24 @@ class WavDecode:
         )
         src = np.repeat(s + 44, 2 * ns) + byte_within
         samples = data[src].view("<i2").astype(np.int64)
-        # reduceat index clamp: a trailing zero-sample doc would index
-        # one past the end (its value is zeroed by the ns>0 mask below)
-        red_idx = np.minimum(flat_starts[:-1], max(tot - 1, 0))
-        sum_abs = (
-            np.add.reduceat(np.abs(samples), red_idx)
-            if tot
-            else np.zeros(n, dtype=np.int64)
-        )
-        sum_abs = np.where(ns > 0, sum_abs, 0)
-        neg = samples < 0
-        change = np.zeros(tot, dtype=np.int64)
-        if tot > 1:
-            change[1:] = (neg[1:] != neg[:-1]).astype(np.int64)
-        change[flat_starts[:-1][ns > 0]] = 0  # no cross-doc crossings
-        zc = (
-            np.add.reduceat(change, red_idx)
-            if tot
-            else np.zeros(n, dtype=np.int64)
-        )
-        zc = np.where(ns > 0, zc, 0)
+        # reduceat only over NONZERO-sample docs' starts (all < tot and
+        # strictly increasing; zero-sample docs contribute no samples
+        # between them, so each segment is exactly one doc's run) —
+        # clamping shared boundaries instead would shift the PREVIOUS
+        # doc's segment end and silently drop its last sample when a
+        # zero-sample doc trails the batch
+        nz = ns > 0
+        nz_starts = flat_starts[:-1][nz]
+        sum_abs = np.zeros(n, dtype=np.int64)
+        zc = np.zeros(n, dtype=np.int64)
+        if tot and nz.any():
+            sum_abs[nz] = np.add.reduceat(np.abs(samples), nz_starts)
+            neg = samples < 0
+            change = np.zeros(tot, dtype=np.int64)
+            if tot > 1:
+                change[1:] = (neg[1:] != neg[:-1]).astype(np.int64)
+            change[nz_starts] = 0  # no cross-doc crossings
+            zc[nz] = np.add.reduceat(change, nz_starts)
         batch = batch.append_column("n_samples", pa.array(ns, type=pa.int64()))
         batch = batch.append_column("sample_rate", pa.array(rate, type=pa.int64()))
         batch = batch.append_column("sum_abs", pa.array(sum_abs, type=pa.int64()))

@@ -135,30 +135,20 @@ def bigram_count_partials(
     """Per-batch word-bigram counts (the corpus n-gram statistics
     pre-aggregation: only already-combined (bigram, n) rows enter the
     vocabulary shuffle, never the corpus). Split semantics mirror
-    DuckDB ``string_split(text, ' ')``; vectorized via pandas
-    ``value_counts`` over the in-doc adjacent word pairs."""
-    import pandas as pd
-
-    words = pc.split_pattern(batch[text_col], " ")
-    if isinstance(words, pa.ChunkedArray):
-        words = words.combine_chunks()
-    offsets = words.offsets.to_numpy().astype(np.int64)
-    flat = words.values.to_numpy(zero_copy_only=False)
-    flat = flat[offsets[0] : offsets[-1]]
-    offsets = offsets - offsets[0]
-    n_docs = len(offsets) - 1
-    seg = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(offsets))
-    if len(seg) < 2:
+    DuckDB ``string_split(text, ' ')``. Arrow-native end to end:
+    :func:`_doc_bigrams` builds the in-doc adjacent pairs and
+    ``pc.value_counts`` combines them — the earlier pandas
+    str.cat/value_counts variant measured 2-3× slower per fragment."""
+    _, bg = _doc_bigrams(batch, text_col)
+    if len(bg) == 0:
         return pa.table(
             {"bigram": pa.array([], type=pa.string()), "n": pa.array([], type=pa.int64())}
         )
-    adj = seg[1:] == seg[:-1]
-    bg = pd.Series(flat[:-1][adj]).str.cat(pd.Series(flat[1:][adj]), sep=" ")
-    vc = bg.value_counts()
+    vc = pc.value_counts(bg)
     return pa.table(
         {
-            "bigram": pa.array(vc.index.to_numpy(), type=pa.string()),
-            "n": pa.array(vc.to_numpy(), type=pa.int64()),
+            "bigram": vc.field("values"),
+            "n": pc.cast(vc.field("counts"), pa.int64()),
         }
     )
 

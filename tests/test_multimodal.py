@@ -144,3 +144,37 @@ class TestWavReal:
         b = pa.table({"payload": pa.array([b"not a wav" * 10], type=pa.binary())})
         with pytest.raises(ValueError, match="WAV"):
             WavDecode()(b)
+
+    def test_wav_trailing_zero_sample_doc(self):
+        """A valid ZERO-sample WAV at the end of a batch must not
+        corrupt the preceding doc's features (regression: a reduceat
+        boundary clamp dropped the previous doc's last sample)."""
+        import struct
+
+        import numpy as np
+        import pyarrow as pa
+
+        from logpipe_ray.stages.multimodal import WavDecode, encode_wav_payload
+
+        tbl = pa.table(
+            {"doc_id": pa.array([7], type=pa.int64()), "text": pa.array(["ab"])}
+        )
+        [real] = encode_wav_payload(tbl)["payload"].to_pylist()
+
+        def empty_wav():
+            h = b"RIFF" + struct.pack("<I", 36) + b"WAVEfmt "
+            h += struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+            return h + b"data" + struct.pack("<I", 0)
+
+        for payloads in ([real, empty_wav()], [empty_wav(), real]):
+            b = pa.table({"payload": pa.array(payloads, type=pa.binary())})
+            out = WavDecode()(b).to_pydict()
+            i = payloads.index(real)
+            n = out["n_samples"][i]
+            smp = (7 * 1000003 + np.arange(n) * 10007) % 65536 - 32768
+            assert out["sum_abs"][i] == np.abs(smp).sum()
+            neg = smp < 0
+            assert out["zero_crossings"][i] == int((neg[1:] != neg[:-1]).sum())
+            j = 1 - i
+            assert out["n_samples"][j] == 0
+            assert out["sum_abs"][j] == 0 and out["zero_crossings"][j] == 0
