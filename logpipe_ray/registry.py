@@ -283,6 +283,36 @@ def _st_repetition_stats(**params):
     return partial(repetition_stats, **params)
 
 
+@register_stage("lm_familiarity")
+def _st_lm_familiarity(**params):
+    """Count-pruned bigram-LM quality scoring (two-pass whole-Dataset
+    stage; see stages/text_analysis.lm_familiarity_scores)."""
+    from logpipe_ray.stages.text_analysis import lm_familiarity_scores
+
+    return DatasetStage(partial(lm_familiarity_scores, **params))
+
+
+@register_stage("wav_encode")
+def _st_wav_encode(**params):
+    from logpipe_ray.stages.multimodal import encode_wav_payload
+
+    return partial(encode_wav_payload, **params)
+
+
+@register_stage("wav_decode")
+def _st_wav_decode(**pool):
+    from logpipe_ray.stages.multimodal import WavDecode
+
+    return ActorStage(WavDecode, {}, {"concurrency": 2, "num_cpus": 0.5, **pool})
+
+
+@register_stage("redact")
+def _st_redact(**params):
+    from logpipe_ray.stages.text_analysis import redact_batch
+
+    return partial(redact_batch, **params)
+
+
 @register_stage("decode_payload")
 def _st_decode_payload(**pool):
     from logpipe_ray.stages.multimodal import DecodeStub

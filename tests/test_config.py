@@ -224,3 +224,29 @@ def test_orc_and_ipc_source_kinds(sf_dir, tmp_path):
              "sink": {"kind": "dataset"}}
         ).to_pandas()
         assert len(df) == t.num_rows
+
+
+def test_lm_familiarity_and_wav_stage_kinds(sf_dir, ray_session):
+    """Config pipelines can run the LM quality scorer and the WAV
+    encode→decode chain end to end."""
+    df = build_pipeline(
+        {
+            "source": {"kind": "parquet", "path": f"{sf_dir}/documents.parquet",
+                       "columns": ["doc_id", "text"]},
+            "stages": [{"kind": "lm_familiarity", "min_count": 3}],
+            "sink": {"kind": "dataset"},
+        }
+    ).to_pandas()
+    assert set(df.columns) == {"doc_id", "n_bigrams", "familiarity"}
+    assert (df["familiarity"] >= 0).all()
+
+    df2 = build_pipeline(
+        {
+            "source": {"kind": "parquet", "path": f"{sf_dir}/documents.parquet",
+                       "columns": ["doc_id", "text"]},
+            "stages": [{"kind": "wav_encode"}, {"kind": "wav_decode"}],
+            "sink": {"kind": "dataset"},
+        }
+    ).to_pandas()
+    assert (df2["n_samples"] > 0).all()
+    assert (df2["sample_rate"] == 16000).all()
