@@ -72,9 +72,19 @@ def normalize_units(d: dict) -> dict:
         elif isinstance(v, list):
             out[k] = [normalize_units(x) if isinstance(x, dict) else x for x in v]
         elif isinstance(v, str) and k in _SIZE_KEYS:
-            out[k] = parse_size(v)
+            try:
+                out[k] = parse_size(v)
+            except ValueError as e:
+                raise ValueError(f"config key {k!r}: bad size value {v!r}") from e
         elif isinstance(v, str) and k.endswith(_DURATION_KEYS_SUFFIX):
-            out[k] = parse_duration_s(v)
+            try:
+                out[k] = parse_duration_s(v)
+            except ValueError as e:
+                raise ValueError(
+                    f"config key {k!r}: bad duration value {v!r} "
+                    "(string values for '*_s' keys parse as durations; "
+                    "rename the key if it should stay a string)"
+                ) from e
         else:
             out[k] = v
     return out

@@ -2249,34 +2249,71 @@ def events_pivot(sf_dir: str):
        FROM events GROUP BY event_type""",
 )
 def events_median(sf_dir: str):
-    """Exact median per group (groupby.map_groups; interpolated halves
-    are exact in binary so the double compares bit-identically)."""
+    """Exact median per group via histogram-rank over integer cents —
+    no group ever materializes its raw rows in one block.
+
+    Same kernel family as quality_percentile_filter's exact ranks
+    (this file): per-block (event_type, cents) COUNT partials are the
+    only thing that leaves a scan block (bounded by the distinct cent
+    values, not the row count), a single-column sort co-locates each
+    type's histogram (volume-bounded blocks — a type whose histogram
+    exceeds one block would need the domain split, but the cent domain
+    is fixed while rows grow without bound), and a vectorized
+    cumulative-count rank scan reads the two middle elements exactly.
+    Interpolated halves are exact in binary so the double compares
+    bit-identically with DuckDB's median()."""
     import numpy as np
-    import pandas as pd
 
     ds = _read(sf_dir, "events", ["event_type", "value"])
 
     def prep(b: pa.Table) -> pa.Table:
         return pa.table({"event_type": b["event_type"], "cents": _cents(b["value"])})
 
-    def med(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    from logpipe_ray.stages.smallagg import (
+        count_partials,
+        run_starts,
+        sorted_runs_fold,
+    )
+
+    partials = count_partials(
+        ds.map_batches(prep, batch_format="pyarrow"), ["event_type", "cents"]
+    )
+    schema = pa.schema([("event_type", pa.string()), ("median_cents", pa.float64())])
+
+    def median_scan(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return schema.empty_table()
+        # duplicate (type, cents) partial rows from different scan blocks
+        # co-locate here (single-key sort) — one group_by finishes the sums
+        g = b.group_by(["event_type", "cents"]).aggregate([("n", "sum")])
+        et = g["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = et.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        names = enc.dictionary.to_pylist()
+        c = g["cents"].to_numpy(zero_copy_only=False)
+        n = g["n_sum"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, codes))
+        codes, c, n = codes[order], c[order], n[order]
+        starts = run_starts(codes)
+        ends = np.concatenate((starts[1:], [len(codes)]))
+        out_t, out_m = [], []
+        for s, e in zip(starts, ends):  # ≤ |event types| iterations
+            cum = np.cumsum(n[s:e])
+            total = int(cum[-1])
+            lo = c[s + np.searchsorted(cum, (total - 1) // 2 + 1)]
+            hi = c[s + np.searchsorted(cum, total // 2 + 1)]
+            out_t.append(names[codes[s]])
+            out_m.append((lo + hi) / 2.0)
+        return pa.table(
             {
-                "event_type": [g["event_type"].iloc[0]],
-                "median_cents": [float(np.median(g["cents"].to_numpy()))],
+                "event_type": pa.array(out_t, type=pa.string()),
+                "median_cents": pa.array(out_m, type=pa.float64()),
             }
         )
 
-    from logpipe_ray.stages.smallagg import map_groups_typed
-
-    schema = pa.schema([("event_type", pa.string()), ("median_cents", pa.float64())])
-    return map_groups_typed(
-        ds.map_batches(prep, batch_format="pyarrow"),
-        "event_type",
-        med,
-        schema,
-        pre_blocks=4,  # 5 event types — more sort ranges would be empty
-    )
+    return sorted_runs_fold(partials, "event_type", median_scan)
 
 
 @query(
@@ -2324,14 +2361,18 @@ def events_latest(sf_dir: str):
         )
 
     partials = ds.map_batches(argmax_per_user, batch_format="pyarrow")
-    # argmax_per_user is associative over (ts, event_id), so the fold is
-    # the same kernel run once over the coalesced partials (≤ n_users
-    # rows per block) — a block-ref repartition, no keyed shuffle, so no
-    # empty reduce partitions (smallagg module docstring).
-    return (
-        partials.repartition(1)
-        .map_batches(argmax_per_user, batch_format="pyarrow", batch_size=None)
-        .select_columns(["user_id", "event_id"])
+    # argmax_per_user is associative over (ts, event_id), so it doubles
+    # as the fold combine. The partials total n_blocks × n_users rows —
+    # UNBOUNDED key cardinality, so a one-block fold would be a single-
+    # worker OOM at hundreds of millions of users (the fold_partials
+    # trap, CLAUDE.md). sorted_runs_fold instead: one volume-bounded
+    # single-column sort on user_id co-locates each user's partial rows
+    # in one block (never splitting a key run), where the same kernel
+    # runs as the run-scan combine.
+    from logpipe_ray.stages.smallagg import sorted_runs_fold
+
+    return sorted_runs_fold(partials, "user_id", argmax_per_user).select_columns(
+        ["user_id", "event_id"]
     )
 
 
@@ -2709,6 +2750,11 @@ def events_user_journey(sf_dir: str):
         us = u[order]
         et_sorted = et.take(pa.array(order))
         starts = run_starts(us)
+        if n >= 2**31:  # same guard as multimodal.encode_wav_payload
+            raise ValueError(
+                "sorted block too large for int32 list offsets; "
+                "lower rows per block"
+            )
         offsets = np.concatenate((starts, [n])).astype(np.int32)
         journeys = pc.binary_join(
             pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), et_sorted),

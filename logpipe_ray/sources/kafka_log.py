@@ -181,6 +181,14 @@ class MessageLogSource:
         for p, tail in sorted(self._tails.items()):
             ords = self._plan_ordinals(p)
             pending[p] = ords
+            # Close the listdir TOCTOU between _plan_ordinals() and the
+            # tail's own _plan(): the tail reads EXACTLY the planned
+            # segment set (exact names are valid fnmatch patterns — the
+            # fixed-width digit names contain no glob metachars), so a
+            # segment published by a concurrent producer between the two
+            # listings waits for the next read() instead of arriving
+            # ordinal-less and crashing _to_messages mid-execution.
+            tail.include = sorted(ords)
             parts.append(
                 tail.read().map_batches(
                     partial(_to_messages, partition=p, ordinals=ords),

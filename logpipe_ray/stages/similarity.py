@@ -219,8 +219,12 @@ def ann_knn_bucketed(
     :func:`cosine_dedup_lsh`).
 
     Occupancy scaling is the DEFAULT (``scale_occupancy=True``): when
-    ``n_rows`` isn't given it is taken from ``ds.count()`` (metadata-
-    cheap on a parquet read). Fixed planes at a growing corpus is the
+    ``n_rows`` isn't given it is taken from ``ds.count()``. That count
+    is metadata-cheap ONLY on a bare ``read_parquet`` dataset; on a
+    derived/mapped Dataset it executes the whole upstream pipeline an
+    extra time before the query runs — callers with mapped inputs must
+    pass ``n_rows`` explicitly (an estimate is fine: planes move by one
+    per factor-of-2 error). Fixed planes at a growing corpus is the
     same latent linear-scored-set defect the dedup LSH path already
     paid for — pass ``scale_occupancy=False`` for the explicit-planes
     behavior (planes never drop below the caller's ``n_planes`` either
