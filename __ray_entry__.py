@@ -433,25 +433,77 @@ def entry() -> Any:
 
 
 # The driver verifies queries in registration order and samples a
-# PREFIX of ~50 (rounds 2 and 3 each ran exactly the first 50). Order
-# therefore IS the evidence budget. Round-4 rotation (VERDICT r3 item
-# 1): positions 1-4 = this round's highest-risk changes (two NEW
-# queries + one representative each of the message-log offset redesign
-# and the window-kernel rewrite); positions 5-50 = the 46 queries with
-# no r3 driver row (flagship contract + one per operator family — all
-# sim-green every round, but their driver evidence dates to r1/r2);
-# the remaining r4-changed queries sit right after (sampled if the
-# prefix runs long; all driver_sim-green + pytest-covered regardless);
-# the 49 r3-green rows take the tail.
+# PREFIX of ~50 (rounds 2-4 each ran exactly the first 50). Order
+# therefore IS the evidence budget. Round-5 rotation (VERDICT r4 item
+# 1): positions 1-3 = the only three queries with NO driver row in any
+# round (sim-green since r4 — this closes cumulative driver coverage
+# to 103/103); next = queries whose implementation changed in r5 (the
+# two unbounded-fold rewrites, the kafka TOCTOU fix, the journey
+# overflow guard, the TCP failover/compression sink) plus any NEW r5
+# queries; the rest of the ~50 budget re-rotates queries whose latest
+# driver evidence is r3 (one round staler than the r4-sampled set);
+# the 50 r4-green rows take the tail.
 _DRIVER_PRIORITY = [
-    # new / changed this round (highest risk first)
-    # (exactly 4: the 46 r3-unsampled queries below must stay inside
-    # the driver's ~50-prefix — remaining new queries follow the 46)
-    "es_bulk_delivery",
+    # never driver-sampled (closes coverage to 103/103)
+    "orc_source",
+    "arrow_ipc_source",
+    "multimodal_audio_real",
+    # changed in r5 (fold rewrites, kafka tail TOCTOU, journey guard,
+    # TCP sink failover/compression) + new r5 queries
+    "events_median",
+    "events_latest",
+    "events_user_journey",
+    "kafka_log_source",
+    "kafka_roundtrip",
     "tcp_roundtrip",
+    "tail_dedup_ingest",
+    # r3-evidence rotation (latest driver row is r3 — staler than r4's)
+    "events_session",
+    "events_asof",
+    "events_cumsum",
+    "events_lag_diff",
+    "events_json_extract",
+    "decontaminate_ngram",
+    "join_range",
+    "events_band_join",
+    "events_moments",
+    "text_normalize",
+    "csv_source",
+    "word_topk_mg",
+    "dedup_substr",
+    "orders_global_rank",
+    "docs_stratified_split",
+    "docs_curriculum",
+    "text_redact",
+    "doc_rarity",
+    "jsonl_source",
+    "source_mix",
+    "events_approx_quantile",
+    "join_outer",
+    "events_rollup",
+    "source_cap",
+    "dedup_incremental",
+    "dedup_keep_best",
+    "quality_percentile_filter",
+    "events_group_topk",
+    "embed_dedup_lsh",
+    "exec_source",
+    "embed_dedup_cosine",
+    "multimodal_decode_real",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "events_union",
+    "agg_having",
+    "events_sliding",
+    "events_pivot",
+    "events_approx_users",
+    "multijoin_nation_revenue",
+    "pushdown_filter",
+    "seq_dedup_exact",
+    # r4-green tail (freshest driver evidence)
+    "es_bulk_delivery",
     "semantic_dedup",
     "doc_lm_familiarity",
-    # the 46 with no r3 driver row: flagship contract first
     "seq_enrich",
     "seq_counters",
     "seq_routed",
@@ -463,7 +515,6 @@ _DRIVER_PRIORITY = [
     "seq_pack_sums",
     "seq_chunk",
     "vocab_topk",
-    # ...then one representative per operator family
     "q1_pricing",
     "events_agg",
     "events_tumbling",
@@ -499,59 +550,6 @@ _DRIVER_PRIORITY = [
     "train_val_split",
     "multimodal_resize",
     "multimodal_frames",
-    # remaining r4-new/changed (after the 46 — sampled if the prefix runs long)
-    "orc_source",
-    "arrow_ipc_source",
-    "multimodal_audio_real",
-    "kafka_roundtrip",
-    "events_session",
-    "events_asof",
-    "events_cumsum",
-    "events_lag_diff",
-    "events_user_journey",
-    "kafka_log_source",
-    "tail_dedup_ingest",
-    "events_json_extract",
-    "decontaminate_ngram",
-    # r3-green tail
-    "join_range",
-    "events_band_join",
-    "events_moments",
-    "text_normalize",
-    "csv_source",
-    "word_topk_mg",
-    "dedup_substr",
-    "orders_global_rank",
-    "docs_stratified_split",
-    "docs_curriculum",
-    "text_redact",
-    "doc_rarity",
-    "jsonl_source",
-    "source_mix",
-    "events_approx_quantile",
-    "join_outer",
-    "events_rollup",
-    "source_cap",
-    "dedup_incremental",
-    "dedup_keep_best",
-    "quality_percentile_filter",
-    "events_group_topk",
-    "embed_dedup_lsh",
-    "exec_source",
-    "embed_dedup_cosine",
-    "multimodal_decode_real",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "events_union",
-    "events_median",
-    "agg_having",
-    "events_sliding",
-    "events_pivot",
-    "events_latest",
-    "events_approx_users",
-    "multijoin_nation_revenue",
-    "pushdown_filter",
-    "seq_dedup_exact",
     "seq_synthesize",
     "seq_parse",
 ]

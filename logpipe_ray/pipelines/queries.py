@@ -1858,17 +1858,27 @@ def tcp_roundtrip(sf_dir: str):
     """Real-wire collector→aggregator topology (logpipe-output-tcp →
     logpipe-input-tcp): the documents table is framed and SENT over
     127.0.0.1 sockets by the actor-pool TcpFrameSink (with a session
-    drop injected, exercising reconnect-resend), received by the
-    threaded collector into a merge-by-filename spool, and read back
-    incrementally with DirectoryTailSource. Every doc must come back
-    exactly once with its id and content length intact."""
+    drop injected, exercising reconnect-resend; a DEAD first peer in
+    the forward list, exercising multi-peer disable-timeout failover;
+    and deflate wire compression matched by the collector's
+    uncompress flag), received by the threaded collector into a
+    merge-by-filename spool, and read back incrementally with
+    DirectoryTailSource. Every doc must come back exactly once with
+    its id and content length intact."""
     import tempfile
 
     from logpipe_ray.sources.stream import DirectoryTailSource
     from logpipe_ray.sources.tcp import TcpFrameSink, start_collector
 
     spool = tempfile.mkdtemp(prefix="lpr_tcp_spool_")
-    srv = start_collector(spool, fail_next_files=1)
+    srv = start_collector(spool, fail_next_files=1, uncompress="deflate")
+    # a listener that accepts nothing: bound + closed → instant refuse
+    import socket as _socket
+
+    _probe = _socket.socket()
+    _probe.bind(("127.0.0.1", 0))
+    dead_port = _probe.getsockname()[1]
+    _probe.close()
     try:
         docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
             lambda b: pa.table(
@@ -1888,8 +1898,11 @@ def tcp_roundtrip(sf_dir: str):
         )
         docs.map_batches(
             TcpFrameSink,
-            fn_constructor_args=("127.0.0.1", srv.port),
-            fn_constructor_kwargs={"retry_wait_s": 0.01},
+            fn_constructor_kwargs={
+                "peers": [("127.0.0.1", dead_port), ("127.0.0.1", srv.port)],
+                "retry_wait_s": 0.01,
+                "compress": "deflate",
+            },
             batch_format="pyarrow",
             batch_size=4096,
             concurrency=2,

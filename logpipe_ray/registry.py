@@ -443,16 +443,29 @@ def _sink_es(ds, url: str, **kw):
 
 
 @register_sink("tcp")
-def _sink_tcp(ds, host: str, port: int, **kw):
+def _sink_tcp(ds, host: str | None = None, port: int | None = None, **kw):
     """Real TCP frame forwarder (logpipe-output-tcp analog): actor pool
     of persistent sockets sending '@'-framed files with ack +
-    reconnect-resend; see sources/tcp.py."""
-    from logpipe_ray.sources.tcp import TcpFrameSink
+    reconnect-resend; multi-peer round-robin failover via
+    ``peers=["host:port", ...]`` and wire deflate via
+    ``compress="deflate"``; see sources/tcp.py.
+
+    ``collector_spool="/dir"`` hosts the receiving collector IN this
+    process (uncompress matched to ``compress``) and targets it — the
+    reference's run-both-ends-on-localhost demo topology
+    (README.md:1275-1338) in one config file; the spool dir persists
+    for a downstream ``message_log``/``log_lines`` pipeline to tail."""
+    from logpipe_ray.sources.tcp import TcpFrameSink, start_collector
     from logpipe_ray.stages.smallagg import fold_partials
     from logpipe_ray.util import pool_size
 
     batch_size = kw.pop("batch_size", 8192)
     concurrency = kw.pop("concurrency", pool_size(per_actor_cpus=0.5, cap=8))
+    spool = kw.pop("collector_spool", None)
+    srv = None
+    if spool is not None:
+        srv = start_collector(spool, uncompress=kw.get("compress"))
+        kw.setdefault("peers", [("127.0.0.1", srv.port)])
     partials = ds.map_batches(
         TcpFrameSink,
         fn_constructor_args=(host, port),
@@ -462,7 +475,13 @@ def _sink_tcp(ds, host: str, port: int, **kw):
         concurrency=concurrency,
         num_cpus=0.5,
     )
-    return fold_partials(partials, "source", "n_lines")
+    out = fold_partials(partials, "source", "n_lines")
+    if srv is not None:
+        # the hosted collector must outlive the lazy pipeline: execute
+        # now (counters are sink-cardinality small), then stop it
+        out = out.materialize()
+        srv.shutdown()
+    return out
 
 
 @register_sink("stdout")
