@@ -3209,30 +3209,20 @@ def arrow_ipc_source(sf_dir: str):
 def tail_dedup_ingest(sf_dir: str):
     """The reference's core loop end-to-end, batch-restated: incremental
     tail-follow → dedup against all previously ingested content → routed
-    append → offset commit, over TWO ingest ticks. Tick 2 re-appends
-    every doc_id%7==3 line (re-sent log content), which the
+    append → offset commit, over TWO ingest ticks
+    (pipelines/ingest.ingest_tick — scale shape and the
+    at-least-once + dedup-absorbs crash contract documented there, the
+    kill-at-every-boundary proof in tests/test_ingest_chaos.py). Tick 2
+    re-appends every doc_id%7==3 line (re-sent log content), which the
     corpus-state dedup must drop while tick-internal duplicate texts
-    dedupe first-wins.
-
-    Scale shape per tick: membership = ONE keyed shuffle of per-batch
-    (source, text_hash) partials unioned with the hash-state rows (the
-    same corpus-never-broadcast design as dedup_incremental — state
-    grows with the corpus, the shuffle carries only partial rows);
-    per-source counters fold from the same aggregate, no second corpus
-    pass. The only driver materialization is sources-dimension counts.
-    State lives in a HashStateStore (state/hashstate.py): segment
-    count stays bounded under LSM compaction, so a long-running loop
-    reads O(max_segments) files per tick, not O(ticks).
-    """
+    dedupe first-wins."""
     import os
     import tempfile
 
-    import numpy as np
     import pyarrow.parquet as _pq
-    from ray.data.aggregate import Min
 
+    from logpipe_ray.pipelines.ingest import ingest_tick
     from logpipe_ray.sources.stream import DirectoryTailSource
-    from logpipe_ray.stages.dedup import add_text_hash
     from logpipe_ray.state.hashstate import HashStateStore
 
     d = tempfile.mkdtemp(prefix="lpr_ingest_")
@@ -3261,158 +3251,13 @@ def tail_dedup_ingest(sf_dir: str):
     src_obj = DirectoryTailSource(logs, f"{d}/_tailstate", include=["*.log"])
     totals: dict[str, list[int]] = {}  # source -> [n_seen, n_ingested]
 
-    def tick(i: int) -> None:
-        new = src_obj.read()
-
-        part_schema = pa.schema(
-            [
-                ("source", pa.string()),
-                ("text_hash", pa.int64()),
-                ("corpus_n", pa.int64()),
-                ("new_n", pa.int64()),
-                ("text", pa.string()),
-            ]
-        )
-
-        def prep(b: pa.Table) -> pa.Table:
-            if b.num_rows == 0:
-                return part_schema.empty_table()
-            src = pc.replace_substring(b["source"], ".log", "")
-            b2 = add_text_hash(
-                pa.table({"source": src, "text": b["line"]})
-            )
-            t2 = pa.table(
-                {
-                    "source": b2["source"],
-                    "text_hash": b2["text_hash"],
-                    "corpus_n": pa.array(
-                        np.zeros(b2.num_rows, dtype=np.int64)
-                    ),
-                    "new_n": pa.array(np.ones(b2.num_rows, dtype=np.int64)),
-                    "text": b2["text"],
-                }
-            )
-            g = t2.group_by(["source", "text_hash"]).aggregate(
-                [("corpus_n", "sum"), ("new_n", "sum"), ("text", "min")]
-            )
-            g = g.rename_columns(
-                [
-                    c.removesuffix("_sum").removesuffix("_min")
-                    for c in g.column_names
-                ]
-            )
-            return g.select(part_schema.names)
-
-        parts = new.map_batches(prep, batch_format="pyarrow")
-        state_files = store.files()
-        if state_files:
-
-            def as_state(b: pa.Table) -> pa.Table:
-                n = b.num_rows
-                return pa.table(
-                    {
-                        "source": b["source"],
-                        "text_hash": b["text_hash"],
-                        "corpus_n": pa.array(np.ones(n, dtype=np.int64)),
-                        "new_n": pa.array(np.zeros(n, dtype=np.int64)),
-                        "text": pa.array([None] * n, type=pa.string()),
-                    }
-                )
-
-            parts = parts.union(
-                ray.data.read_parquet(state_files).map_batches(
-                    as_state, batch_format="pyarrow"
-                )
-            )
-
-        agg = (
-            parts.groupby(["source", "text_hash"])
-            .aggregate(
-                Sum("corpus_n", alias_name="corpus_n"),
-                Sum("new_n", alias_name="new_n"),
-                Min("text", alias_name="text"),
-            )
-            # two consumers (survivors + seen counters) — without this
-            # the tail byte reads, hashing, state read and keyed shuffle
-            # all re-execute per consumer
-            .materialize()
-        )
-
-        def finalize(b: pa.Table) -> pa.Table:
-            keep = pc.and_(
-                pc.equal(b["corpus_n"], 0), pc.greater(b["new_n"], 0)
-            )
-            kept = b.filter(keep)
-            return pa.table(
-                {
-                    "source": kept["source"],
-                    "text_hash": pc.cast(kept["text_hash"], pa.int64()),
-                    "text": kept["text"],
-                    "n_seen_part": pc.cast(kept["new_n"], pa.int64()),
-                }
-            )
-
-        survivors = agg.map_batches(finalize, batch_format="pyarrow")
-        # routed append of the ingested lines + state append, one pass;
-        # counter partials fold exactly like the flagship writer's
-        from logpipe_ray.stages.route import write_routed_batch
-
-        tick_dir = os.path.join(outd, f"tick{i}")
-        counted = survivors.map_batches(
-            lambda b: write_routed_batch(
-                b,
-                out_dir=tick_dir,
-                sink_col="source",
-                source_col="source",
-                n_tok_col="n_seen_part",
-                id_col="text_hash",
-                drop_cols=(),
-            ),
-            batch_format="pyarrow",
-        ).to_pandas()
-        # seen counts include dropped dups: fold new_n over ALL groups
-        seen_tbl = (
-            agg.map_batches(
-                lambda b: pa.table(
-                    {"source": b["source"], "n": pc.cast(b["new_n"], pa.int64())}
-                ),
-                batch_format="pyarrow",
-            )
-            .groupby("source")
-            .aggregate(Sum("n", alias_name="n"))
-            .to_pandas()
-        )
-        for _, r in seen_tbl.iterrows():
-            totals.setdefault(r["source"], [0, 0])[0] += int(r["n"])
-        if len(counted):  # a tick may ingest nothing (all dups)
-            for _, r in (
-                counted.groupby("source", as_index=False)["n_rows"].sum().iterrows()
-            ):
-                totals.setdefault(r["source"], [0, 0])[1] += int(r["n_rows"])
-        # persist the tick's new hashes as corpus state
-        new_hashes = pa.table(
-            {
-                "source": pa.array(
-                    [], type=pa.string()
-                ),
-                "text_hash": pa.array([], type=pa.int64()),
-            }
-        )
-        surv_files = []
-        for root, _dirs, files in os.walk(tick_dir):
-            surv_files += [
-                os.path.join(root, f) for f in files if f.endswith(".parquet")
-            ]
-        if surv_files:
-            st = _pq.read_table(surv_files, columns=["source", "text_hash"])
-            new_hashes = st
-        store.append(new_hashes)
-        src_obj.commit()
-
-    append_lines(rows)
-    tick(1)
-    append_lines([r for r in rows if r[0] % 7 == 3])
-    tick(2)
+    for i, sel in ((1, rows), (2, [r for r in rows if r[0] % 7 == 3])):
+        append_lines(sel)
+        seen, ingested = ingest_tick(src_obj, store, outd, i)
+        for s, n in seen.items():
+            totals.setdefault(s, [0, 0])[0] += n
+        for s, n in ingested.items():
+            totals.setdefault(s, [0, 0])[1] += n
 
     srcs = sorted(totals)
     return pa.table(

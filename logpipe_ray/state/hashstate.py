@@ -42,6 +42,9 @@ class HashStateStore:
     def __init__(self, state_dir: str, *, max_segments: int = 8):
         self.state_dir = state_dir
         self.max_segments = max_segments
+        # failure injection (tests): crash between the segment write and
+        # the manifest rename — the boundary the GC path exists for
+        self.fail_next_commits = 0
         os.makedirs(state_dir, exist_ok=True)
 
     # -- manifest -------------------------------------------------------------
@@ -57,6 +60,11 @@ class HashStateStore:
             return {"next_id": 0, "segments": []}
 
     def _commit(self, m: dict) -> None:
+        if self.fail_next_commits > 0:
+            self.fail_next_commits -= 1
+            raise OSError(
+                "injected: crash after segment write, before manifest commit"
+            )
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump(m, f)
