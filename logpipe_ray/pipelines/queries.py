@@ -1247,15 +1247,27 @@ def multimodal_meta(sf_dir: str):
        GROUP BY b ORDER BY n DESC, b LIMIT 50""",
 )
 def bigram_topk(sf_dir: str):
-    """Corpus bigram vocabulary top-50: per-batch value_counts PARTIALS
-    → small groupby sum → tiny sort; tie-break (n desc, bigram asc)
-    matches the oracle."""
-    from logpipe_ray.stages.text_analysis import bigram_count_partials
+    """Corpus bigram vocabulary top-50 via the Misra–Gries
+    exact-top-k kernel (functions/sketches.heavy_hitters_exact_topk,
+    same shape as word_topk_mg): MG partials are ≤ (m+1) rows per
+    block — the shuffle volume is m-bounded no matter how large the
+    bigram domain grows, where the previous groupby carried EVERY
+    distinct bigram through Ray's sort-based aggregate (the bigram
+    domain is unbounded — it grows with the corpus, unlike vocab_topk's
+    fixed token vocabulary). The runtime certificate (k-th exact count
+    > total decrement) keeps the result provably equal to the SQL
+    top-k; tie-break (n desc, bigram asc) matches the oracle."""
+    from logpipe_ray.functions.sketches import heavy_hitters_exact_topk
+    from logpipe_ray.stages.text_analysis import _doc_bigrams
 
     ds = _read(sf_dir, "documents", ["text"])
-    partials = ds.map_batches(bigram_count_partials, batch_format="pyarrow")
-    agg = partials.groupby("bigram").aggregate(Sum("n", alias_name="n"))
-    return agg.sort(["n", "bigram"], descending=[True, False]).limit(50)
+
+    def bigrams_of(b: pa.Table) -> pa.Array:
+        _, bg = _doc_bigrams(b, "text")
+        return bg
+
+    top = heavy_hitters_exact_topk(ds, k=50, m=2048, make_values=bigrams_of)
+    return top.rename_columns(["bigram", "n"])
 
 
 @query(
