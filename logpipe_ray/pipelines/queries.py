@@ -3065,8 +3065,14 @@ def jsonl_source(sf_dir: str):
 def _csv_fixture(sf_dir: str) -> str:
     """Write events as sharded CSV (deterministic: event_id order, 4
     shards by range; Arrow's CSV writer emits shortest-round-trip
-    doubles, so value survives parquet→csv→parse exactly)."""
+    doubles, so value survives parquet→csv→parse exactly).
+
+    Same atomic build-then-rename publish as _columnar_fixture: a
+    crashed builder leaves only an unpublished scratch dir, never a
+    torn directory behind a _SUCCESS marker."""
     import os
+    import shutil
+    import uuid
 
     import pyarrow.csv as pacsv
     import pyarrow.parquet as pq
@@ -3076,7 +3082,8 @@ def _csv_fixture(sf_dir: str) -> str:
     marker = os.path.join(d, "_SUCCESS")
     if os.path.exists(marker):
         return d
-    os.makedirs(d, exist_ok=True)
+    tmp = f"{d}.build-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
     t = pq.read_table(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "event_type", "value"],
@@ -3085,10 +3092,15 @@ def _csv_fixture(sf_dir: str) -> str:
     per = -(-t.num_rows // n_shards)
     for s in range(n_shards):
         pacsv.write_csv(
-            t.slice(s * per, per), os.path.join(d, f"events-{s:04d}.csv")
+            t.slice(s * per, per), os.path.join(tmp, f"events-{s:04d}.csv")
         )
-    with open(marker, "w") as f:
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
         f.write("ok")
+    shutil.rmtree(d, ignore_errors=True)
+    try:
+        os.rename(tmp, d)
+    except OSError:  # concurrent builder won the publish race
+        shutil.rmtree(tmp, ignore_errors=True)
     return d
 
 
@@ -3119,9 +3131,8 @@ def csv_source(sf_dir: str):
 
 def _columnar_fixture(sf_dir: str, fmt: str) -> str:
     """customer table sharded as .orc / .arrow files (same atomic
-    build-then-rename discipline as _topic_fixture: write into a
-    scratch dir, publish with one rename — _csv_fixture relies only on
-    a last-written _SUCCESS marker and is NOT torn-directory-safe)."""
+    build-then-rename discipline as _topic_fixture and _csv_fixture:
+    write into a scratch dir, publish with one rename)."""
     import os
     import shutil
     import uuid

@@ -409,17 +409,30 @@ def _sink_message_log(ds, topic_dir: str, **kw):
 
 
 @register_sink("es")
-def _sink_es(ds, url: str, **kw):
+def _sink_es(ds, url: str | None = None, **kw):
     """ES bulk-HTTP delivery (logpipe-output-es transport half): actor
     pool of keep-alive connections, batched ``_bulk`` POSTs with
     reconnect-retry-resend; returns folded delivery counters. See
-    stages/es_sink.py for the full semantics map."""
+    stages/es_sink.py for the full semantics map.
+
+    ``stub=true`` hosts the in-process bulk-HTTP stub server and
+    targets it — the run-both-ends-on-localhost demo topology, same as
+    the tcp sink's ``collector_spool`` (no external ES in this
+    container)."""
     from logpipe_ray.stages.es_sink import PARTIAL_SCHEMA, EsBulkSink
     from logpipe_ray.stages.smallagg import fold_partials
     from logpipe_ray.util import pool_size
 
     batch_size = kw.pop("batch_size", 4096)
     concurrency = kw.pop("concurrency", pool_size(per_actor_cpus=0.5, cap=8))
+    stub = None
+    if kw.pop("stub", False):
+        from logpipe_ray.stages.es_sink import start_bulk_stub
+
+        stub = start_bulk_stub()
+        url = stub.url
+    if url is None:
+        raise ValueError("es sink needs url=... or stub=true")
     partials = ds.map_batches(
         EsBulkSink,
         fn_constructor_kwargs={"url": url, **kw},
@@ -437,9 +450,14 @@ def _sink_es(ds, url: str, **kw):
         else PARTIAL_SCHEMA.append(pa.field("sink", pa.string())).empty_table(),
         batch_format="pyarrow",
     )
-    return fold_partials(
+    out = fold_partials(
         partials, "sink", ["n_docs", "n_posts", "n_retries", "n_http_errors"]
     )
+    if stub is not None:
+        # hosted stub must outlive the lazy pipeline (cf. tcp sink)
+        out = out.materialize()
+        stub.shutdown()
+    return out
 
 
 @register_sink("tcp")

@@ -292,3 +292,14 @@ def test_cli_transport_example_subprocess(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert '"status": "ok"' in r.stdout
     assert (tmp_path / "spool").exists()
+
+
+def test_example_es_bulk_spec(ray_session):
+    """examples/es_bulk.json: split→template→actor-pool bulk POST to
+    the hosted in-process stub; counters prove delivery."""
+    import json
+
+    spec = json.load(open("/root/repo/examples/es_bulk.json"))
+    out = build_pipeline(spec).to_pandas()
+    assert out["n_docs"].sum() > 0
+    assert out["n_http_errors"].sum() == 0
