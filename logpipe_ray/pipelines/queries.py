@@ -1884,13 +1884,15 @@ def tcp_roundtrip(sf_dir: str):
 
     spool = tempfile.mkdtemp(prefix="lpr_tcp_spool_")
     srv = start_collector(spool, fail_next_files=1, uncompress="deflate")
-    # a listener that accepts nothing: bound + closed → instant refuse
+    # a dead peer that STAYS dead: bound but never listen()ed —
+    # connects are RST-refused, and holding the bind for the whole
+    # query keeps the OS from handing the port to a concurrent process
+    # (a closed ephemeral port could be rebound mid-query)
     import socket as _socket
 
-    _probe = _socket.socket()
-    _probe.bind(("127.0.0.1", 0))
-    dead_port = _probe.getsockname()[1]
-    _probe.close()
+    _dead = _socket.socket()
+    _dead.bind(("127.0.0.1", 0))
+    dead_port = _dead.getsockname()[1]
     try:
         docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
             lambda b: pa.table(
@@ -1939,6 +1941,8 @@ def tcp_roundtrip(sf_dir: str):
         return tail.read().map_batches(back, batch_format="pyarrow")
     finally:
         srv.shutdown()
+        srv.server_close()
+        _dead.close()
 
 
 @query(
@@ -2296,29 +2300,33 @@ def events_median(sf_dir: str):
 
     from logpipe_ray.stages.smallagg import (
         count_partials,
+        fold_partials_tree,
         run_starts,
-        sorted_runs_fold,
     )
 
     partials = count_partials(
         ds.map_batches(prep, batch_format="pyarrow"), ["event_type", "cents"]
     )
+    # The (type, cents) histogram domain is FIXED while rows grow
+    # without bound — the tree fold combines the unbounded partial
+    # stream down to one ≤|domain|-row block with bounded task memory
+    # and NO sort (a keyed range sort on a 5-value event_type key emits
+    # schema-less empty ranges once the stream outgrows the block
+    # budget — the smallagg module-docstring failure class).
+    hist = fold_partials_tree(partials, ["event_type", "cents"], "n")
     schema = pa.schema([("event_type", pa.string()), ("median_cents", pa.float64())])
 
     def median_scan(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return schema.empty_table()
-        # duplicate (type, cents) partial rows from different scan blocks
-        # co-locate here (single-key sort) — one group_by finishes the sums
-        g = b.group_by(["event_type", "cents"]).aggregate([("n", "sum")])
-        et = g["event_type"]
+        et = b["event_type"]
         if isinstance(et, pa.ChunkedArray):
             et = et.combine_chunks()
         enc = et.dictionary_encode()
         codes = enc.indices.to_numpy(zero_copy_only=False)
         names = enc.dictionary.to_pylist()
-        c = g["cents"].to_numpy(zero_copy_only=False)
-        n = g["n_sum"].to_numpy(zero_copy_only=False)
+        c = b["cents"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False)
         order = np.lexsort((c, codes))
         codes, c, n = codes[order], c[order], n[order]
         starts = run_starts(codes)
@@ -2338,7 +2346,7 @@ def events_median(sf_dir: str):
             }
         )
 
-    return sorted_runs_fold(partials, "event_type", median_scan)
+    return hist.map_batches(median_scan, batch_format="pyarrow", batch_size=None)
 
 
 @query(
@@ -3062,16 +3070,45 @@ def jsonl_source(sf_dir: str):
     return ds.map_batches(prep, batch_format="pyarrow")
 
 
+def _publish_fixture_dir(tmp: str, d: str) -> None:
+    """Atomically publish a fully-built fixture dir. NEVER deletes a
+    possibly-published ``d`` (readers may be mid-query in it): the only
+    thing ever removed in place is a marker-LESS stale dir (a
+    pre-publish crash leftover), and that is moved aside first so the
+    remove can't race a concurrent publisher's rename. Losing the
+    publish race discards our build and keeps the winner's."""
+    import os
+    import shutil
+    import uuid
+
+    for _ in range(5):
+        try:
+            os.rename(tmp, d)
+            return
+        except OSError:
+            pass  # d exists — published or stale
+        if os.path.exists(os.path.join(d, "_SUCCESS")):
+            shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner
+            return
+        stale = f"{d}.stale-{uuid.uuid4().hex[:8]}"
+        try:
+            os.rename(d, stale)
+            shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass  # another builder already moved it; retry the publish
+    shutil.rmtree(tmp, ignore_errors=True)
+    raise RuntimeError(f"could not publish fixture dir {d}")
+
+
 def _csv_fixture(sf_dir: str) -> str:
     """Write events as sharded CSV (deterministic: event_id order, 4
     shards by range; Arrow's CSV writer emits shortest-round-trip
     doubles, so value survives parquet→csv→parse exactly).
 
-    Same atomic build-then-rename publish as _columnar_fixture: a
-    crashed builder leaves only an unpublished scratch dir, never a
-    torn directory behind a _SUCCESS marker."""
+    Atomic publish via _publish_fixture_dir: a crashed builder leaves
+    only an unpublished scratch dir, and a live published dir is never
+    deleted out from under a reader."""
     import os
-    import shutil
     import uuid
 
     import pyarrow.csv as pacsv
@@ -3096,11 +3133,7 @@ def _csv_fixture(sf_dir: str) -> str:
         )
     with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
         f.write("ok")
-    shutil.rmtree(d, ignore_errors=True)
-    try:
-        os.rename(tmp, d)
-    except OSError:  # concurrent builder won the publish race
-        shutil.rmtree(tmp, ignore_errors=True)
+    _publish_fixture_dir(tmp, d)
     return d
 
 
@@ -3130,11 +3163,9 @@ def csv_source(sf_dir: str):
 
 
 def _columnar_fixture(sf_dir: str, fmt: str) -> str:
-    """customer table sharded as .orc / .arrow files (same atomic
-    build-then-rename discipline as _topic_fixture and _csv_fixture:
-    write into a scratch dir, publish with one rename)."""
+    """customer table sharded as .orc / .arrow files (atomic publish
+    via _publish_fixture_dir, same as _csv_fixture)."""
     import os
-    import shutil
     import uuid
 
     import pyarrow.parquet as pq
@@ -3166,11 +3197,7 @@ def _columnar_fixture(sf_dir: str, fmt: str) -> str:
             )
     with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
         f.write("ok")
-    shutil.rmtree(d, ignore_errors=True)
-    try:
-        os.rename(tmp, d)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)
+    _publish_fixture_dir(tmp, d)
     return d
 
 

@@ -427,6 +427,12 @@ def _sink_es(ds, url: str | None = None, **kw):
     concurrency = kw.pop("concurrency", pool_size(per_actor_cpus=0.5, cap=8))
     stub = None
     if kw.pop("stub", False):
+        if url is not None:
+            raise ValueError(
+                "es sink: stub=true hosts its own endpoint — don't also "
+                "pass url (the configured destination would be silently "
+                "ignored)"
+            )
         from logpipe_ray.stages.es_sink import start_bulk_stub
 
         stub = start_bulk_stub()
@@ -454,9 +460,13 @@ def _sink_es(ds, url: str | None = None, **kw):
         partials, "sink", ["n_docs", "n_posts", "n_retries", "n_http_errors"]
     )
     if stub is not None:
-        # hosted stub must outlive the lazy pipeline (cf. tcp sink)
-        out = out.materialize()
-        stub.shutdown()
+        # hosted stub must outlive the lazy pipeline (cf. tcp sink);
+        # stop it (and close the listening fd) even when the run fails
+        try:
+            out = out.materialize()
+        finally:
+            stub.shutdown()
+            stub.server_close()
     return out
 
 
@@ -482,8 +492,14 @@ def _sink_tcp(ds, host: str | None = None, port: int | None = None, **kw):
     spool = kw.pop("collector_spool", None)
     srv = None
     if spool is not None:
+        if host is not None or port is not None or "peers" in kw:
+            raise ValueError(
+                "tcp sink: collector_spool hosts its own endpoint — "
+                "don't also pass host/port/peers (the configured "
+                "destination would be silently ignored)"
+            )
         srv = start_collector(spool, uncompress=kw.get("compress"))
-        kw.setdefault("peers", [("127.0.0.1", srv.port)])
+        kw["peers"] = [("127.0.0.1", srv.port)]
     partials = ds.map_batches(
         TcpFrameSink,
         fn_constructor_args=(host, port),
@@ -496,9 +512,13 @@ def _sink_tcp(ds, host: str | None = None, port: int | None = None, **kw):
     out = fold_partials(partials, "source", "n_lines")
     if srv is not None:
         # the hosted collector must outlive the lazy pipeline: execute
-        # now (counters are sink-cardinality small), then stop it
-        out = out.materialize()
-        srv.shutdown()
+        # now (counters are sink-cardinality small), then stop it — and
+        # close the listening fd even when the run fails
+        try:
+            out = out.materialize()
+        finally:
+            srv.shutdown()
+            srv.server_close()
     return out
 
 

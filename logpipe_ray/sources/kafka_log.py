@@ -183,12 +183,13 @@ class MessageLogSource:
             pending[p] = ords
             # Close the listdir TOCTOU between _plan_ordinals() and the
             # tail's own _plan(): the tail reads EXACTLY the planned
-            # segment set (exact names are valid fnmatch patterns — the
-            # fixed-width digit names contain no glob metachars), so a
-            # segment published by a concurrent producer between the two
-            # listings waits for the next read() instead of arriving
-            # ordinal-less and crashing _to_messages mid-execution.
-            tail.include = sorted(ords)
+            # segment set (exact-name set membership, not fnmatch — a
+            # pattern list would cost O(segments²) per read on an aging
+            # topic), so a segment published by a concurrent producer
+            # between the two listings waits for the next read() instead
+            # of arriving ordinal-less and crashing _to_messages
+            # mid-execution.
+            tail.include_names = set(ords)
             parts.append(
                 tail.read().map_batches(
                     partial(_to_messages, partition=p, ordinals=ords),

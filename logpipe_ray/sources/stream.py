@@ -82,6 +82,10 @@ class DirectoryTailSource:
         self.state_dir = state_dir
         self.include = include
         self.exclude = exclude
+        # exact-basename allowlist (set-membership, not fnmatch) — for
+        # planners that pin a read to a pre-listed file set (the kafka
+        # source's TOCTOU close); O(1) per file vs O(|patterns|)
+        self.include_names: set[str] | None = None
         self.chunk_bytes = chunk_bytes
         self._pending_state: dict[str, dict] | None = None
 
@@ -116,6 +120,10 @@ class DirectoryTailSource:
             os.path.join(self.watch_dir, n) for n in os.listdir(self.watch_dir)
         )
         paths = match_files(names, include=self.include, exclude=self.exclude)
+        if self.include_names is not None:
+            paths = [
+                p for p in paths if os.path.basename(p) in self.include_names
+            ]
         chunks: list[dict] = []
         new_state: dict[str, dict] = dict(state)
         for p in paths:

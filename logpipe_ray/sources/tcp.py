@@ -149,6 +149,11 @@ class TcpFrameSink:
             if host is None or port is None:
                 raise ValueError("need host+port or peers=[...]")
             peers = [(host, port)]
+        elif host is not None or port is not None:
+            raise ValueError(
+                "pass host+port OR peers=[...], not both — the "
+                "positional pair would be silently ignored"
+            )
         self.peers: list[tuple[str, int]] = []
         for p in peers:
             if isinstance(p, str):

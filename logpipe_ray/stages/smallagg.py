@@ -80,6 +80,33 @@ def fold_partials(
     )
 
 
+def fold_partials_tree(
+    partials: ray.data.Dataset,
+    keys: list[str] | str,
+    value_cols: list[str] | str,
+    *,
+    fanin: int = 64,
+    out_blocks: int = 1,
+) -> ray.data.Dataset:
+    """Hierarchical :func:`fold_partials` for BOUNDED-DOMAIN keys whose
+    partial STREAM is unbounded in block count (histograms over a fixed
+    value domain scanned from an arbitrarily large corpus): repeatedly
+    coalesce ``fanin`` partial blocks per combine task until
+    ``out_blocks`` remain. Every combine input is ≤ fanin × |domain|
+    rows and every output ≤ |domain| — bounded task memory at ANY
+    corpus size, still no keyed shuffle and no empty reduce ranges.
+    (A flat ``fold_partials(num_blocks=1)`` concatenates the whole
+    n_blocks × |domain| stream into ONE block first — the
+    one-block-fold trap once n_blocks is large.)"""
+    ds = partials.materialize()
+    nb = ds.num_blocks()
+    while True:  # ≥ 1 fold even for a 1-block stream (dup keys in-block)
+        nb = max(out_blocks, nb // fanin)
+        ds = fold_partials(ds, keys, value_cols, num_blocks=nb).materialize()
+        if nb <= out_blocks:
+            return ds
+
+
 def grouped_agg(
     ds: ray.data.Dataset,
     keys: list[str] | str,
@@ -252,11 +279,17 @@ def sorted_runs_fold(
     pairs, dup positions, ... — small relative to the corpus but not
     driver-sized): materialize (the input is about to be consumed by a
     count anyway), coalesce to volume-bounded blocks, ONE range sort on
-    ``keys`` (block count ≤ rows/rows_per_block, so no sort range comes
-    out empty/schema-less), then ``combine`` — a vectorized run-scan
-    over each block (the sort invariant co-locates a key's rows).
-    ``combine`` must be associative-safe per key run (count/min/max/sum
-    via ``run_starts`` + ``np.{add,minimum,...}.reduceat``)."""
+    ``keys``, then ``combine`` — a vectorized run-scan over each block
+    (the sort invariant co-locates a key's rows). ``combine`` must be
+    associative-safe per key run (count/min/max/sum via ``run_starts``
+    + ``np.{add,minimum,...}.reduceat``).
+
+    This is for UNBOUNDED/high-cardinality keys (distinct keys ≫ the
+    rows/rows_per_block block count, so every sort range lands on
+    data). With distinct keys BELOW the block count the surplus ranges
+    come out as schema-less empty blocks (module docstring) — for a
+    bounded key domain use :func:`fold_partials` /
+    :func:`fold_partials_tree` instead, which shuffle nothing."""
     keys = [keys] if isinstance(keys, str) else list(keys)
     ds = ds.materialize()
     blocks = max(1, ds.count() // rows_per_block + 1)

@@ -132,13 +132,15 @@ def repetition_stats(
 def bigram_count_partials(
     batch: pa.Table, *, text_col: str = "text"
 ) -> pa.Table:
-    """Per-batch word-bigram counts (the corpus n-gram statistics
-    pre-aggregation: only already-combined (bigram, n) rows enter the
-    vocabulary shuffle, never the corpus). Split semantics mirror
-    DuckDB ``string_split(text, ' ')``. Arrow-native end to end:
-    :func:`_doc_bigrams` builds the in-doc adjacent pairs and
-    ``pc.value_counts`` combines them — the earlier pandas
-    str.cat/value_counts variant measured 2-3× slower per fragment."""
+    """Per-batch word-bigram counts — the combiner half of the
+    LM-familiarity model build (``hashed_partials`` below). Split
+    semantics mirror DuckDB ``string_split(text, ' ')``. Arrow-native
+    end to end: :func:`_doc_bigrams` builds the in-doc adjacent pairs
+    and ``pc.value_counts`` combines them — the earlier pandas
+    str.cat/value_counts variant measured 2-3× slower per fragment.
+    (bigram_topk no longer consumes this: its all-distinct groupby was
+    replaced by the MG exact-top-k kernel, 17× at 302k docs,
+    BASELINE.md r5.)"""
     _, bg = _doc_bigrams(batch, text_col)
     if len(bg) == 0:
         return pa.table(

@@ -202,3 +202,55 @@ class TestSortedRunsFold:
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
         # fold emitted each key exactly once ⇒ no key straddled blocks
         assert got["k"].is_unique
+
+
+def test_fold_partials_tree_matches_flat_fold(ray_session):
+    """Hierarchical fold over a many-block bounded-domain partial
+    stream: equals the flat groupby result, every combine input stays
+    ≤ fanin × |domain| rows, and a 1-block stream still gets its final
+    combine (duplicate keys within the block are summed)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from logpipe_ray.stages.smallagg import fold_partials_tree
+
+    rng = np.random.default_rng(7)
+    # 40 partial blocks over a 3×5 key domain, duplicate keys everywhere
+    tables = []
+    for _ in range(40):
+        n = int(rng.integers(5, 20))
+        tables.append(
+            pa.table(
+                {
+                    "t": rng.choice(["a", "b", "c"], n),
+                    "c": rng.integers(0, 5, n),
+                    "n": rng.integers(1, 100, n),
+                }
+            )
+        )
+    ds = ray.data.from_arrow(tables)  # 40 blocks
+    got = (
+        fold_partials_tree(ds, ["t", "c"], "n", fanin=4)
+        .to_pandas()
+        .sort_values(["t", "c"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        pa.concat_tables(tables)
+        .to_pandas()
+        .groupby(["t", "c"], as_index=False)["n"]
+        .sum()
+        .sort_values(["t", "c"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert got.set_index(["t", "c"]).index.is_unique
+
+    # 1-block stream with in-block duplicate keys: still combined
+    one = ray.data.from_arrow(
+        pa.table({"t": ["x", "x"], "c": [1, 1], "n": [2, 3]})
+    )
+    df = fold_partials_tree(one, ["t", "c"], "n").to_pandas()
+    assert len(df) == 1 and int(df["n"][0]) == 5

@@ -153,13 +153,17 @@ def test_registry_tcp_sink(ray_session, collector, tmp_path):
     assert len((tmp_path / "spool_reg" / "z.log").read_text().split()) == 20
 
 
+_DEAD_HOLDS = []
+
+
 def _dead_port() -> int:
-    """A port that instantly refuses: bound once, then closed."""
+    """A port that instantly refuses AND stays dead: bound but never
+    listen()ed — connects get RST while the bind (held for the test
+    session) keeps the OS from re-issuing the port to anyone else."""
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
-    port = s.getsockname()[1]
-    s.close()
-    return port
+    _DEAD_HOLDS.append(s)  # hold the bind; freed at interpreter exit
+    return s.getsockname()[1]
 
 
 def _batch(sources_lines):
