@@ -109,6 +109,23 @@ def _src_message_log(topic_dir: str, state_dir: str, **kw):
     return MessageLogSource(topic_dir, state_dir, **kw).read()
 
 
+@register_source("tail")
+def _src_tail(watch_dir: str, state_dir: str, *, include: list | None = None, **kw):
+    """Incremental directory tail (the logpipe-input-file analog as a
+    CONFIG source): lines appended since the offsets last committed to
+    ``state_dir`` — e.g. an aggregator config reading the tcp sink's
+    collector spool. Like the ``message_log`` config source, this does
+    NOT advance offsets itself (a config run is a read, not a consumer
+    loop); read→process→COMMIT loops belong to the programmatic API
+    (`DirectoryTailSource.commit`, `pipelines/ingest.ingest_tick`),
+    where the commit is ordered after the durable sink append."""
+    from logpipe_ray.sources.stream import DirectoryTailSource
+
+    return DirectoryTailSource(
+        watch_dir, state_dir, include=include, **kw
+    ).read()
+
+
 @register_source("orc")
 def _src_orc(path: str, **kw):
     from logpipe_ray.sources.columnar import read_orc_dir

@@ -303,3 +303,26 @@ def test_example_es_bulk_spec(ray_session):
     out = build_pipeline(spec).to_pandas()
     assert out["n_docs"].sum() > 0
     assert out["n_http_errors"].sum() == 0
+
+
+def test_example_transport_then_aggregator(ray_session, tmp_path):
+    """The full reference topology in two configs: transport.json fills
+    the spool over the real wire, aggregator.json tails it and unpacks
+    the metadata headers back into typed columns."""
+    import json
+
+    tspec = json.load(open("/root/repo/examples/transport.json"))
+    tspec["source"]["sf_dir"] = "/root/testdata/sf0.001"
+    tspec["sink"]["collector_spool"] = str(tmp_path / "spool")
+    sent = build_pipeline(tspec).to_pandas()
+
+    aspec = json.load(open("/root/repo/examples/aggregator.json"))
+    aspec["source"]["watch_dir"] = str(tmp_path / "spool")
+    aspec["source"]["state_dir"] = str(tmp_path / "aggstate")
+    df = build_pipeline(aspec).to_pandas()
+    assert len(df) == sent["n_lines"].sum()  # every forwarded line back
+    assert (df["meta_system"].str.startswith("app_")).all()
+    assert df["meta_line"].notna().all()
+    # merge-by-filename attribution survived wire + unpack: the spool
+    # file each line landed in IS the filename packed in its header
+    assert (df["source"] == df["meta_filename"]).all()
