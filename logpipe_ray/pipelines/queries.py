@@ -2346,7 +2346,16 @@ def events_median(sf_dir: str):
             }
         )
 
-    return hist.map_batches(median_scan, batch_format="pyarrow", batch_size=None)
+    # Run the rank scan driver-side on the (result-sized, ≤|domain|-row,
+    # single-block) histogram rather than via map_batches: Ray skips map
+    # UDFs on empty blocks, so an empty events table would pass the
+    # HISTOGRAM schema through as the query result instead of the
+    # declared (event_type, median_cents) schema.
+    blocks = [ray.get(r) for r in hist.to_arrow_refs()]
+    non_empty = [b for b in blocks if b.num_rows]
+    if not non_empty:
+        return schema.empty_table()
+    return median_scan(pa.concat_tables(non_empty))
 
 
 @query(
@@ -3072,32 +3081,50 @@ def jsonl_source(sf_dir: str):
 
 def _publish_fixture_dir(tmp: str, d: str) -> None:
     """Atomically publish a fully-built fixture dir. NEVER deletes a
-    possibly-published ``d`` (readers may be mid-query in it): the only
-    thing ever removed in place is a marker-LESS stale dir (a
-    pre-publish crash leftover), and that is moved aside first so the
-    remove can't race a concurrent publisher's rename. Losing the
-    publish race discards our build and keeps the winner's."""
+    possibly-published ``d`` (readers may be mid-query in it): the
+    marker-check → stale-removal → rename sequence runs under an
+    O_EXCL lockfile, so it can't interleave with a concurrent
+    publisher (an unlocked check-then-move has a window where a dir
+    published in between gets yanked). Losing the race discards our
+    build and keeps the winner's; a crashed builder's lock goes stale
+    and is broken by mtime."""
     import os
     import shutil
-    import uuid
+    import time
 
-    for _ in range(5):
+    marker = os.path.join(d, "_SUCCESS")
+    lock = d + ".lock"
+    deadline = time.monotonic() + 120
+    while True:
         try:
-            os.rename(tmp, d)
+            os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            break
+        except FileExistsError:
+            if os.path.exists(marker):  # the lock holder published
+                shutil.rmtree(tmp, ignore_errors=True)
+                return
+            try:  # break a crashed builder's stale lock
+                if time.monotonic() - os.path.getmtime(lock) > 60:
+                    os.remove(lock)
+                    continue
+            except OSError:
+                continue  # lock vanished between checks — retry take
+            if time.monotonic() > deadline:
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise RuntimeError(f"timed out waiting to publish {d}")
+            time.sleep(0.05)
+    try:
+        if os.path.exists(marker):  # raced: winner published first
+            shutil.rmtree(tmp, ignore_errors=True)
             return
-        except OSError:
-            pass  # d exists — published or stale
-        if os.path.exists(os.path.join(d, "_SUCCESS")):
-            shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner
-            return
-        stale = f"{d}.stale-{uuid.uuid4().hex[:8]}"
+        if os.path.exists(d):  # marker-less stale dir (publish crash)
+            shutil.rmtree(d, ignore_errors=True)
+        os.rename(tmp, d)
+    finally:
         try:
-            os.rename(d, stale)
-            shutil.rmtree(stale, ignore_errors=True)
+            os.remove(lock)
         except OSError:
-            pass  # another builder already moved it; retry the publish
-    shutil.rmtree(tmp, ignore_errors=True)
-    raise RuntimeError(f"could not publish fixture dir {d}")
+            pass
 
 
 def _csv_fixture(sf_dir: str) -> str:

@@ -456,6 +456,27 @@ def _sink_es(ds, url: str | None = None, **kw):
         url = stub.url
     if url is None:
         raise ValueError("es sink needs url=... or stub=true")
+    try:
+        out = _build_es_sink(
+            ds, url, kw, batch_size=batch_size, concurrency=concurrency
+        )
+        if stub is not None:
+            # the hosted stub must outlive the lazy pipeline: execute now
+            out = out.materialize()
+        return out
+    finally:
+        if stub is not None:
+            # stop the hosted stub (and close its listening fd) whether
+            # the run succeeded, failed mid-pipeline, or failed while
+            # CONSTRUCTING the pipeline (pool-arg validation etc.)
+            stub.shutdown()
+            stub.server_close()
+
+
+def _build_es_sink(ds, url, kw, *, batch_size, concurrency):
+    from logpipe_ray.stages.es_sink import PARTIAL_SCHEMA, EsBulkSink
+    from logpipe_ray.stages.smallagg import fold_partials
+
     partials = ds.map_batches(
         EsBulkSink,
         fn_constructor_kwargs={"url": url, **kw},
@@ -473,18 +494,9 @@ def _sink_es(ds, url: str | None = None, **kw):
         else PARTIAL_SCHEMA.append(pa.field("sink", pa.string())).empty_table(),
         batch_format="pyarrow",
     )
-    out = fold_partials(
+    return fold_partials(
         partials, "sink", ["n_docs", "n_posts", "n_retries", "n_http_errors"]
     )
-    if stub is not None:
-        # hosted stub must outlive the lazy pipeline (cf. tcp sink);
-        # stop it (and close the listening fd) even when the run fails
-        try:
-            out = out.materialize()
-        finally:
-            stub.shutdown()
-            stub.server_close()
-    return out
 
 
 @register_sink("tcp")
@@ -517,26 +529,29 @@ def _sink_tcp(ds, host: str | None = None, port: int | None = None, **kw):
             )
         srv = start_collector(spool, uncompress=kw.get("compress"))
         kw["peers"] = [("127.0.0.1", srv.port)]
-    partials = ds.map_batches(
-        TcpFrameSink,
-        fn_constructor_args=(host, port),
-        fn_constructor_kwargs=kw,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=0.5,
-    )
-    out = fold_partials(partials, "source", "n_lines")
-    if srv is not None:
-        # the hosted collector must outlive the lazy pipeline: execute
-        # now (counters are sink-cardinality small), then stop it — and
-        # close the listening fd even when the run fails
-        try:
+    try:
+        partials = ds.map_batches(
+            TcpFrameSink,
+            fn_constructor_args=(host, port),
+            fn_constructor_kwargs=kw,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=0.5,
+        )
+        out = fold_partials(partials, "source", "n_lines")
+        if srv is not None:
+            # the hosted collector must outlive the lazy pipeline:
+            # execute now (counters are sink-cardinality small)
             out = out.materialize()
-        finally:
+        return out
+    finally:
+        if srv is not None:
+            # stop the collector (and close its listening fd) whether
+            # the run succeeded, failed mid-pipeline, or failed during
+            # pipeline CONSTRUCTION
             srv.shutdown()
             srv.server_close()
-    return out
 
 
 @register_sink("stdout")

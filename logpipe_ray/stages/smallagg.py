@@ -86,24 +86,27 @@ def fold_partials_tree(
     value_cols: list[str] | str,
     *,
     fanin: int = 64,
-    out_blocks: int = 1,
 ) -> ray.data.Dataset:
     """Hierarchical :func:`fold_partials` for BOUNDED-DOMAIN keys whose
     partial STREAM is unbounded in block count (histograms over a fixed
     value domain scanned from an arbitrarily large corpus): repeatedly
-    coalesce ``fanin`` partial blocks per combine task until
-    ``out_blocks`` remain. Every combine input is ≤ fanin × |domain|
-    rows and every output ≤ |domain| — bounded task memory at ANY
-    corpus size, still no keyed shuffle and no empty reduce ranges.
-    (A flat ``fold_partials(num_blocks=1)`` concatenates the whole
-    n_blocks × |domain| stream into ONE block first — the
+    coalesce ``fanin`` partial blocks per combine task until ONE fully
+    combined block remains (the blocks repartition coalesces are
+    arbitrary, so any >1-block output would still hold split per-key
+    sums — only the 1-block root is a fold). Every combine input is
+    ≤ fanin × |domain| rows and every output ≤ |domain| — bounded task
+    memory at ANY corpus size, still no keyed shuffle and no empty
+    reduce ranges. (A flat ``fold_partials(num_blocks=1)`` concatenates
+    the whole n_blocks × |domain| stream into ONE block first — the
     one-block-fold trap once n_blocks is large.)"""
+    if fanin < 2:
+        raise ValueError(f"fanin must be ≥ 2, got {fanin}")
     ds = partials.materialize()
     nb = ds.num_blocks()
     while True:  # ≥ 1 fold even for a 1-block stream (dup keys in-block)
-        nb = max(out_blocks, nb // fanin)
+        nb = max(1, nb // fanin)
         ds = fold_partials(ds, keys, value_cols, num_blocks=nb).materialize()
-        if nb <= out_blocks:
+        if nb <= 1:
             return ds
 
 
