@@ -205,9 +205,12 @@ class TcpFrameSink:
                 if self._socks[i] is not None:
                     return i
                 try:
-                    self._socks[i] = socket.create_connection(
-                        self.peers[i], timeout=10
-                    )
+                    s = socket.create_connection(self.peers[i], timeout=10)
+                    # the reference sets TCP_NODELAY on forward sockets
+                    # (output-tcp.c:176-179); with an ack per frame,
+                    # Nagle + delayed-ACK otherwise stalls small frames
+                    s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+                    self._socks[i] = s
                     return i
                 except OSError as e:
                     last = e
