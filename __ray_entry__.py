@@ -457,6 +457,7 @@ _DRIVER_PRIORITY = [
     "kafka_roundtrip",
     "tcp_roundtrip",
     "tail_dedup_ingest",
+    "bigram_topk",
     # r3-evidence rotation (latest driver row is r3 — staler than r4's)
     "events_session",
     "events_asof",
@@ -546,7 +547,6 @@ _DRIVER_PRIORITY = [
     "embed_ann_lsh",
     "embed_ann_ivf",
     "multimodal_meta",
-    "bigram_topk",
     "train_val_split",
     "multimodal_resize",
     "multimodal_frames",
