@@ -234,3 +234,90 @@ def test_token_content_hash_order_and_boundary_sensitivity():
     assert h[0] != h[2]  # prefixed differs
     assert h[0] == h[3]  # same content equal
     assert h[0] != h[4]  # prefix-of differs
+
+
+# --- TCP wire framing (sources/tcp.py) --------------------------------------
+
+
+def _decode_frames(buf: bytes):
+    """Independent decoder written from the documented wire layout
+    (module doc of sources/tcp.py / logpipe-input-tcp.c:221-361): '@' +
+    BE16 name length + name, then (BE32 block length + 4 zero bytes +
+    payload)* terminated by a zero length field. Deliberately NOT a
+    call into the production code — the property is encode(x) →
+    independent-decode → x."""
+    import struct
+    import zlib
+
+    frames = []
+    i = 0
+    while i < len(buf):
+        assert buf[i : i + 1] == b"@"
+        (nlen,) = struct.unpack(">H", buf[i + 1 : i + 3])
+        name = buf[i + 3 : i + 3 + nlen].decode()
+        i += 3 + nlen
+        blocks = []
+        while True:
+            (blen,) = struct.unpack(">I", buf[i : i + 4])
+            assert buf[i + 4 : i + 8] == b"\x00" * 4  # htonl-into-uint64
+            i += 8
+            if blen == 0:
+                break
+            blocks.append(buf[i : i + blen])
+            i += blen
+        frames.append((name, blocks))
+    return frames
+
+
+@given(
+    name=st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+        min_size=1,
+        max_size=40,
+    ),
+    payload=st.binary(min_size=0, max_size=5000),
+    block_bytes=st.integers(min_value=1, max_value=1 << 12),
+)
+@settings(max_examples=60, deadline=None)
+def test_frame_file_independent_decode_roundtrip(name, payload, block_bytes):
+    from logpipe_ray.sources.tcp import frame_file
+
+    frames = _decode_frames(
+        frame_file(name, payload, block_bytes=block_bytes)
+    )
+    assert len(frames) == 1
+    got_name, blocks = frames[0]
+    assert got_name == name
+    assert b"".join(blocks) == payload
+    # every block except possibly the last is exactly block_bytes
+    assert all(len(b) == block_bytes for b in blocks[:-1])
+    assert all(1 <= len(b) <= block_bytes for b in blocks)
+
+
+@given(payload=st.binary(min_size=0, max_size=5000))
+@settings(max_examples=40, deadline=None)
+def test_frame_file_deflate_roundtrip(payload):
+    import zlib
+
+    from logpipe_ray.sources.tcp import frame_file
+
+    frames = _decode_frames(
+        frame_file("z.log", payload, block_bytes=1024, compress="deflate")
+    )
+    ((_, blocks),) = frames
+    assert b"".join(zlib.decompress(b) for b in blocks) == payload
+
+
+@given(
+    n=st.integers(min_value=0, max_value=1 << 20),
+    suf=st.sampled_from(["b", "kb", "mb", "gb", "tb"]),
+    case=st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_parse_size_exact_for_integers(n, suf, case):
+    from logpipe_ray.util import parse_size
+
+    mult = {"b": 1, "kb": 1 << 10, "mb": 1 << 20, "gb": 1 << 30, "tb": 1 << 40}
+    s = f"{n}{suf.upper() if case else suf}"
+    assert parse_size(s) == n * mult[suf]
+    assert parse_size(f"  {s} ") == n * mult[suf]  # whitespace-tolerant
