@@ -113,3 +113,58 @@ def test_compaction_preserves_rows_across_merges():
         store.append(pa.table({"text_hash": pa.array(rows, type=pa.int64())}))
         assert len(store.files()) <= 3
     assert sorted(store.read_all()["text_hash"].to_pylist()) == sorted(expect)
+
+
+def test_model_random_appends_with_injected_commit_failures(tmp_path):
+    """Model-based check: across a random interleaving of appends,
+    injected commit crashes, and retries, the store's multiset of rows
+    always equals exactly the successfully-committed appends — crashes
+    lose the in-flight append only (never committed state), retries
+    re-add it, file count stays bounded, and no orphan outlives the
+    next successful append."""
+    import collections
+    import os
+    import random
+
+    import pyarrow as pa
+
+    from logpipe_ray.state.hashstate import HashStateStore
+
+    rng = random.Random(20260819)
+    store = HashStateStore(str(tmp_path / "hs"), max_segments=4)
+    model: collections.Counter = collections.Counter()
+    next_val = 0
+    for step in range(60):
+        n = rng.randint(0, 5)
+        rows = list(range(next_val, next_val + n))
+        next_val += n
+        t = pa.table({"v": pa.array(rows, type=pa.int64())})
+        crash = rng.random() < 0.3
+        if crash:
+            store.fail_next_commits = 1
+            try:
+                store.append(t)
+                raise AssertionError("injected commit failure did not fire")
+            except OSError:
+                pass
+            # crashed append must NOT be visible; retry it
+            got = collections.Counter(
+                store.read_all()["v"].to_pylist()
+                if store.read_all().num_columns
+                else []
+            )
+            assert got == model, f"step {step}: crash leaked rows"
+        store.append(t)
+        model.update(rows)
+        got = collections.Counter(
+            store.read_all()["v"].to_pylist()
+            if store.read_all().num_columns
+            else []
+        )
+        assert got == model, f"step {step}: mismatch after append"
+        segs = [
+            f for f in os.listdir(store.state_dir) if f.startswith("seg-")
+        ]
+        assert len(segs) <= store.max_segments + 0, segs  # GC'd + bounded
+        live = {os.path.basename(p) for p in store.files()}
+        assert set(segs) == live  # no orphans survive a successful append
