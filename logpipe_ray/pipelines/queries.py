@@ -3104,7 +3104,8 @@ def _publish_fixture_dir(tmp: str, d: str) -> None:
                 shutil.rmtree(tmp, ignore_errors=True)
                 return
             try:  # break a crashed builder's stale lock
-                if time.monotonic() - os.path.getmtime(lock) > 60:
+                # wall clock, NOT monotonic: getmtime is epoch-based
+                if time.time() - os.path.getmtime(lock) > 60:
                     os.remove(lock)
                     continue
             except OSError:
