@@ -72,7 +72,9 @@ def _prep(b: pa.Table) -> pa.Table:
 
     if b.num_rows == 0:
         return _PART_SCHEMA.empty_table()
-    src = pc.replace_substring(b["source"], ".log", "")
+    # strip only a TRAILING .log — replace_substring would also eat an
+    # infix match ('auth.login.log' → 'authin'), colliding source keys
+    src = pc.replace_substring_regex(b["source"], r"\.log$", "")
     b2 = add_text_hash(pa.table({"source": src, "text": b["line"]}))
     t2 = pa.table(
         {

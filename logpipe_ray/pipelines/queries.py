@@ -2413,6 +2413,16 @@ def events_latest(sf_dir: str):
     # runs as the run-scan combine.
     from logpipe_ray.stages.smallagg import sorted_runs_fold
 
+    # Empty-input schema guard (the Ray skip-empty class events_median
+    # handles driver-side): on an empty events table the combine AND
+    # the projection are skipped on the empty block, leaking the
+    # 3-column partials schema. sorted_runs_fold materializes its input
+    # anyway, so this count is free.
+    partials = partials.materialize()
+    if partials.count() == 0:
+        return pa.schema(
+            [("user_id", pa.int64()), ("event_id", pa.int64())]
+        ).empty_table()
     return sorted_runs_fold(partials, "user_id", argmax_per_user).select_columns(
         ["user_id", "event_id"]
     )
@@ -3104,12 +3114,18 @@ def _publish_fixture_dir(tmp: str, d: str) -> None:
                 shutil.rmtree(tmp, ignore_errors=True)
                 return
             try:  # break a crashed builder's stale lock
-                # wall clock, NOT monotonic: getmtime is epoch-based
+                # wall clock, NOT monotonic: getmtime is epoch-based.
+                # Claim-by-RENAME (atomic) before removing: a plain
+                # os.remove could race another waiter and delete the
+                # FRESH lock that waiter just re-created, letting two
+                # publishers into the critical section.
                 if time.time() - os.path.getmtime(lock) > 60:
-                    os.remove(lock)
+                    broken = f"{lock}.broken-{os.getpid()}-{time.monotonic_ns()}"
+                    os.rename(lock, broken)  # only one waiter wins this
+                    os.remove(broken)
                     continue
             except OSError:
-                continue  # lock vanished between checks — retry take
+                continue  # lock vanished/claimed between checks — retry
             if time.monotonic() > deadline:
                 shutil.rmtree(tmp, ignore_errors=True)
                 raise RuntimeError(f"timed out waiting to publish {d}")

@@ -436,8 +436,6 @@ def _sink_es(ds, url: str | None = None, **kw):
     targets it — the run-both-ends-on-localhost demo topology, same as
     the tcp sink's ``collector_spool`` (no external ES in this
     container)."""
-    from logpipe_ray.stages.es_sink import PARTIAL_SCHEMA, EsBulkSink
-    from logpipe_ray.stages.smallagg import fold_partials
     from logpipe_ray.util import pool_size
 
     batch_size = kw.pop("batch_size", 4096)

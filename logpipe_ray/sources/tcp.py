@@ -158,6 +158,10 @@ class TcpFrameSink:
         for p in peers:
             if isinstance(p, str):
                 h, _, pt = p.rpartition(":")
+                if not h:
+                    # '' resolves to localhost — silently misdirected
+                    # frames; surface the malformed entry instead
+                    raise ValueError(f"peer {p!r} must be 'host:port'")
                 self.peers.append((h, int(pt)))
             else:
                 self.peers.append((p[0], int(p[1])))
@@ -185,60 +189,61 @@ class TcpFrameSink:
         if disable:
             self._enable_at[i] = time.monotonic() + self.disable_timeout_s
 
-    def _next_peer(self) -> int:
-        """CheckAndConnectForwardSocket's round-robin sweep
-        (output-tcp.c:130-200): advance the index, skip peers inside
-        their disable window, reuse a live socket, else attempt ONE
-        connect (failure disables the peer). A full sweep with no
-        usable peer sleeps and re-sweeps — bounded by max_retries here
-        where the reference loops forever."""
-        last: Exception | None = None
-        for _ in range(self.max_retries + 1):
-            all_disabled = True
-            for _ in range(len(self.peers)):
-                self._rr = (self._rr + 1) % len(self.peers)
-                i = self._rr
-                if time.monotonic() < self._enable_at[i]:
-                    continue
-                all_disabled = False
-                self._enable_at[i] = 0.0
-                if self._socks[i] is not None:
-                    return i
-                try:
-                    s = socket.create_connection(self.peers[i], timeout=10)
-                    # the reference sets TCP_NODELAY on forward sockets
-                    # (output-tcp.c:176-179); with an ack per frame,
-                    # Nagle + delayed-ACK otherwise stalls small frames
-                    s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
-                    self._socks[i] = s
-                    return i
-                except OSError as e:
-                    last = e
-                    self._drop(i, disable=True)
-                    self.n_retries += 1
-            if all_disabled:
-                # Every peer is inside its disable window. The reference
-                # pins and immediately reconnects the failed session in
-                # this situation (output-tcp.c forward_session_index >= 0
-                # skips the enable_timestamp check) — re-probe the
-                # soonest-enabled peer rather than going dark.
-                self._enable_at[min(
-                    range(len(self.peers)), key=self._enable_at.__getitem__
-                )] = 0.0
-            time.sleep(self.retry_wait_s)
-        raise ConnectionError(
-            f"tcp sink: no forward peer usable among {self.peers} "
-            f"after {self.max_retries} sweeps"
-        ) from last
+    def _next_peer(self) -> int | None:
+        """ONE round-robin sweep (CheckAndConnectForwardSocket's inner
+        pass, output-tcp.c:130-200): advance the index, skip peers
+        inside their disable window, reuse a live socket, else attempt
+        ONE connect per peer (failure disables the peer). Returns None
+        when the sweep found no usable peer — the retry budget belongs
+        to the _send_frame loop ALONE (an inner retry loop here would
+        multiply to max_retries² connect attempts against a down
+        endpoint — the r4 single-peer invariant, kept)."""
+        all_disabled = True
+        for _ in range(len(self.peers)):
+            self._rr = (self._rr + 1) % len(self.peers)
+            i = self._rr
+            if time.monotonic() < self._enable_at[i]:
+                continue
+            all_disabled = False
+            self._enable_at[i] = 0.0
+            if self._socks[i] is not None:
+                return i
+            try:
+                s = socket.create_connection(self.peers[i], timeout=10)
+                # the reference sets TCP_NODELAY on forward sockets
+                # (output-tcp.c:176-179); with an ack per frame,
+                # Nagle + delayed-ACK otherwise stalls small frames
+                s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+                self._socks[i] = s
+                return i
+            except OSError:
+                self._drop(i, disable=True)
+                self.n_retries += 1
+        if all_disabled:
+            # Every peer is inside its disable window. The reference
+            # pins and immediately reconnects the failed session in
+            # this situation (output-tcp.c forward_session_index >= 0
+            # skips the enable_timestamp check) — re-enable the
+            # soonest peer so the NEXT sweep probes it.
+            self._enable_at[min(
+                range(len(self.peers)), key=self._enable_at.__getitem__
+            )] = 0.0
+        return None
 
     def _send_frame(self, frame: bytes) -> None:
         """Same loop shape as stages/es_sink.EsBulkSink._post, plus
         peer failover: a send/ack failure disables the peer for
         disable_timeout_s and resends the whole frame to the next one
-        (documented deviation — the reference pins the session)."""
+        (documented deviation — the reference pins the session). ONE
+        retry budget covers everything: each of the max_retries+1
+        attempts is at most one peer sweep (≤ one connect per peer)
+        plus one send — bounded time against any failure pattern."""
         last: Exception | None = None
         for _ in range(self.max_retries + 1):
             i = self._next_peer()
+            if i is None:
+                time.sleep(self.retry_wait_s)
+                continue
             try:
                 self._socks[i].sendall(frame)
                 ack = self._socks[i].recv(1)  # delivery ack (module doc #2)
