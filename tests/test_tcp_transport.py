@@ -291,3 +291,28 @@ def test_single_peer_send_failure_still_reprobes(collector, tmp_path):
     sink(_batch([("s.log", "only-line")]))
     assert (tmp_path / "spool_single" / "s.log").read_text() == "only-line\n"
     assert sink.n_retries >= 1
+
+
+def test_retry_budget_is_bounded_against_dead_peers():
+    """ONE retry budget covers peer sweeps + sends: with every peer
+    dead and max_retries=3, the sink must raise ConnectionError after
+    ~max_retries sweeps (≤ one connect attempt per peer per sweep) —
+    not max_retries² attempts (the r4 invariant a failover rewrite
+    briefly regressed)."""
+    import time as _time
+
+    sink = TcpFrameSink(
+        peers=[
+            ("127.0.0.1", _dead_port()),
+            ("127.0.0.1", _dead_port()),
+        ],
+        max_retries=3,
+        retry_wait_s=0.01,
+        disable_timeout_s=0.05,
+    )
+    t0 = _time.monotonic()
+    with pytest.raises(ConnectionError):
+        sink._send_frame(frame_file("x.log", b"payload"))
+    assert _time.monotonic() - t0 < 5.0  # bounded, no quadratic blowup
+    # ≤ (max_retries+1) sweeps × 2 peers connect attempts
+    assert sink.n_retries <= (3 + 1) * 2
