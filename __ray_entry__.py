@@ -300,18 +300,18 @@ def _q_seq_chunk(sf_dir: str):
 
 def _q_vocab_topk(sf_dir: str):
     """Token-vocabulary top-50: per-batch bincount PARTIALS (≤ vocab
-    rows leave any batch) → fold_partials (vocab is BOUNDED at 50257,
+    rows leave any batch) → fold_partials_tree (vocab is BOUNDED at 50257,
     so one vectorized combine beats a keyed all-to-all — the keyed
     groupby here was the slowest query in the r4 sf0.1 sweep at 24.7 s;
     the fold runs it in ~6 s) → tiny sort. Tie-break (n desc, token
     asc) matches the oracle."""
     from logpipe_ray.functions.tokens import token_histogram_partials
     from logpipe_ray.sources.sequences import synthesize_sequences
-    from logpipe_ray.stages.smallagg import fold_partials
+    from logpipe_ray.stages.smallagg import fold_partials_tree
 
     ds = synthesize_sequences(sf_dir)
     partials = ds.map_batches(token_histogram_partials, batch_format="pyarrow")
-    agg = fold_partials(partials, "token", "n")
+    agg = fold_partials_tree(partials, "token", "n")
     return agg.sort(["n", "token"], descending=[True, False]).limit(50)
 
 

@@ -224,15 +224,16 @@ def heavy_hitters_exact_topk(
     def partials(b: pa.Table) -> pa.Table:
         return mg_partial_table(make_values(b), m=m)
 
-    summary = (
-        ds.map_batches(partials, batch_format="pyarrow")
-        .repartition(1)
-        .map_batches(
-            lambda t: mg_merge_table(t, m=m),
-            batch_format="pyarrow",
-            batch_size=None,
-        )
-        .materialize()
+    from logpipe_ray.stages.smallagg import fold_blocks_tree
+
+    # MG summaries are mergeable along an arbitrary tree (PODS 2012):
+    # tree-fold the ≤(m+1)-row partials — a flat repartition(1) merge
+    # would concat n_blocks × (m+1) rows into ONE task at web-scale
+    # block counts. D accumulates along the tree exactly as the
+    # certificate below assumes.
+    summary = fold_blocks_tree(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        lambda t: mg_merge_table(t, m=m),
     )
     tbl = pa.Table.from_pandas(summary.to_pandas())
     null_mask = pc.is_null(tbl["item"])
@@ -258,9 +259,11 @@ def heavy_hitters_exact_topk(
             }
         )
 
-    from logpipe_ray.stages.smallagg import fold_partials
+    from logpipe_ray.stages.smallagg import fold_partials_tree
 
-    exact = fold_partials(
+    # candidate domain is ≤ m items but the partial STREAM is
+    # block-count-proportional — tree-fold the per-block counts
+    exact = fold_partials_tree(
         ds.map_batches(exact_partials, batch_format="pyarrow"), "item", "n"
     )
     top = pa.Table.from_pandas(

@@ -26,7 +26,7 @@ import ray
 import ray.data
 
 from logpipe_ray.routes import default_route_table
-from logpipe_ray.stages.smallagg import fold_partials, map_groups_typed
+from logpipe_ray.stages.smallagg import fold_partials_tree, map_groups_typed
 from logpipe_ray.sources.sequences import synthesize_sequences
 from logpipe_ray.stages.enrich import BroadcastEnricher, Enricher
 from logpipe_ray.stages.parse import cut_route_key
@@ -90,7 +90,7 @@ def route_and_count(
         batch_format="pyarrow",
         batch_size=batch_size,
     )
-    return fold_partials(partials, ["source", "sink"], ["n_rows", "sum_n_tok"])
+    return fold_partials_tree(partials, ["source", "sink"], ["n_rows", "sum_n_tok"])
 
 
 def build_enriched(
@@ -207,7 +207,7 @@ def route_shuffled(
         batch_format="pyarrow",
         pre_blocks=max(2, salt_buckets // 2),
     )
-    return fold_partials(partials, ["source", "sink"], ["n_rows", "sum_n_tok"])
+    return fold_partials_tree(partials, ["source", "sink"], ["n_rows", "sum_n_tok"])
 
 
 def run_fused(
@@ -254,4 +254,4 @@ def run_fused(
     partials = seq_ds.map_batches(
         fused, batch_format="pyarrow", batch_size=batch_size
     )
-    return fold_partials(partials, ["source", "sink"], ["n_rows", "sum_n_tok"])
+    return fold_partials_tree(partials, ["source", "sink"], ["n_rows", "sum_n_tok"])

@@ -160,13 +160,16 @@ def events_topk(sf_dir: str):
 def events_group_topk(sf_dir: str):
     """Per-group top-k (rank within partition): top-3 spenders per event
     type. Per-batch arrow group_by pre-aggregates, so at most
-    types×users rows leave any block; ``fold_partials`` combines them
-    without a keyed shuffle (bounded key cardinality — the
-    empty-reduce-partition guard, see stages/smallagg.py); the rank /
-    take-3 is one vectorized lexsort over the combined table."""
+    types×users rows leave any block; user_id is UNBOUNDED, so the
+    partials fold through ``sorted_runs_fold`` (volume-bounded single-
+    column sort co-locates each user — never a one-block all-users
+    table); each folded block then emits its local top-3-per-type
+    (≤ 3×types rows) and the selection tree-merges via
+    ``fold_blocks_tree`` — rank3 recomputes ranks from scratch, so it
+    is its own merge."""
     import numpy as np
 
-    from logpipe_ray.stages.smallagg import fold_partials
+    from logpipe_ray.stages.smallagg import fold_blocks_tree, sorted_runs_fold
 
     ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
 
@@ -186,10 +189,35 @@ def events_group_topk(sf_dir: str):
         )
         return g.select(["event_type", "user_id", "total_cents"])
 
-    agg = fold_partials(
+    part_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("user_id", pa.int64()),
+            ("total_cents", pa.int64()),
+        ]
+    )
+
+    def user_combine(b: pa.Table) -> pa.Table:
+        # a user's rows are confined to this block (single-column sort
+        # invariant), so a local group_by completes every (user, type)
+        # total exactly once globally
+        if b.num_rows == 0:
+            return part_schema.empty_table()
+        g = b.group_by(["event_type", "user_id"]).aggregate(
+            [("total_cents", "sum")]
+        )
+        g = g.rename_columns(
+            [
+                c[: -len("_sum")] if c.endswith("_sum") else c
+                for c in g.column_names
+            ]
+        )
+        return g.select(part_schema.names).cast(part_schema)
+
+    agg = sorted_runs_fold(
         ds.map_batches(partial, batch_format="pyarrow"),
-        ["event_type", "user_id"],
-        "total_cents",
+        "user_id",
+        user_combine,
     )
 
     out_schema = pa.schema(
@@ -221,7 +249,13 @@ def events_group_topk(sf_dir: str):
             }
         )
 
-    return agg.map_batches(rank3, batch_format="pyarrow", batch_size=None)
+    # local top-3-per-type partials (≤ 3×types rows leave any block),
+    # then rank3 tree-merges its own outputs (it re-lexsorts and
+    # re-ranks from scratch each application)
+    return fold_blocks_tree(
+        agg.map_batches(rank3, batch_format="pyarrow", batch_size=None),
+        rank3,
+    )
 
 
 @query("events_distinct_types", "SELECT DISTINCT event_type FROM events")
@@ -590,11 +624,11 @@ def quality_percentile_filter(sf_dir: str):
     (bounded by distinct metric values, not corpus rows)."""
     import numpy as np
 
-    from logpipe_ray.stages.smallagg import count_partials, fold_partials
+    from logpipe_ray.stages.smallagg import count_partials, fold_partials_tree
 
     Q = 0.25
     ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
-    hist = fold_partials(count_partials(ds, "n_chars"), "n_chars", "n").to_pandas()
+    hist = fold_partials_tree(count_partials(ds, "n_chars"), "n_chars", "n").to_pandas()
     if hist.empty:  # empty corpus → nothing passes (or fails) the gate
         return ds
     hist = hist.sort_values("n_chars").reset_index(drop=True)
@@ -1351,9 +1385,11 @@ def source_cap(sf_dir: str):
     dominate the mix" curation op.
 
     Distributed shape: per-batch vectorized partial cap (one lexsort;
-    ≤ cap×sources rows leave any block), then the SAME kernel folds the
-    combined partials in one task (sources are dimension-bounded) — no
-    corpus sort, doc rows beyond the partial caps never shuffle."""
+    ≤ cap×sources rows leave any block), then the SAME kernel tree-folds
+    the partials (`smallagg.fold_blocks_tree` — cap selection is a
+    merge, so every fold task sees ≤ fanin × cap × sources rows at any
+    block count) — no corpus sort, doc rows beyond the partial caps
+    never shuffle."""
     import numpy as np
 
     CAP = 10
@@ -1376,10 +1412,14 @@ def source_cap(sf_dir: str):
             }
         )
 
+    from logpipe_ray.stages.smallagg import fold_blocks_tree
+
     partials = ds.map_batches(cap_per_source, batch_format="pyarrow")
-    return partials.repartition(1).map_batches(
-        cap_per_source, batch_format="pyarrow", batch_size=None
-    )
+    # cap selection is a merge (min-CAP-by-doc_id semilattice): tree-fold
+    # it — a flat repartition(1) would concat n_blocks × cap × sources
+    # rows into ONE block (the one-block-fold trap at web-scale block
+    # counts)
+    return fold_blocks_tree(partials, cap_per_source)
 
 
 @query(
@@ -2120,10 +2160,10 @@ def events_union(sf_dir: str):
         lambda b: b.filter(pc.equal(b["event_type"], "error")).select(["event_type"]),
         batch_format="pyarrow",
     )
-    from logpipe_ray.stages.smallagg import count_partials, fold_partials
+    from logpipe_ray.stages.smallagg import count_partials, fold_partials_tree
 
     merged = purchases.union(errors)
-    return fold_partials(count_partials(merged, "event_type"), "event_type", "n")
+    return fold_partials_tree(count_partials(merged, "event_type"), "event_type", "n")
 
 
 @query(
@@ -2203,10 +2243,10 @@ def agg_having(sf_dir: str):
     """Post-aggregation filter (HAVING): per-block count partials →
     tiny fold → vectorized filter (bounded key cardinality, so the
     partial/combine shape beats a row shuffle at any scale)."""
-    from logpipe_ray.stages.smallagg import count_partials, fold_partials
+    from logpipe_ray.stages.smallagg import count_partials, fold_partials_tree
 
     ds = _read(sf_dir, "documents", ["source"])
-    agg = fold_partials(count_partials(ds, "source", out_col="n_docs"), "source", "n_docs")
+    agg = fold_partials_tree(count_partials(ds, "source", out_col="n_docs"), "source", "n_docs")
     return agg.map_batches(
         lambda b: b.filter(pc.greater_equal(b["n_docs"], 20)),
         batch_format="pyarrow",
@@ -2529,13 +2569,15 @@ def join_outer(sf_dir: str):
     hash-match the SQL.
 
     Distributed shape: aggregate-before-join (per-batch pyarrow group_by
-    partials, folded once — custkey is dimension-sized at these scales;
-    fold_partials avoids empty reduce partitions feeding the join, and
-    grows to a two-level tree if cardinality does), then a
-    hash-partitioned full_outer Dataset.join with the partition count
-    bounded by the small side's row count (stages/joins.py policy)."""
+    partials; custkey is UNBOUNDED, so the partials fold through
+    ``sorted_runs_fold`` — volume-bounded blocks, never a one-block
+    all-customers table), then a hash-partitioned full_outer
+    Dataset.join with the partition count bounded by the small side's
+    row count (stages/joins.py policy)."""
+    import numpy as np
+
     from logpipe_ray.stages.joins import hash_join
-    from logpipe_ray.stages.smallagg import fold_partials
+    from logpipe_ray.stages.smallagg import sorted_runs_fold
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
 
@@ -2570,10 +2612,33 @@ def join_outer(sf_dir: str):
         )
         return g.select(["custkey", "total_cents"])
 
-    totals = fold_partials(
+    tot_schema = pa.schema([("custkey", pa.int64()), ("total_cents", pa.int64())])
+
+    def cust_combine(b: pa.Table) -> pa.Table:
+        # custkey is UNBOUNDED (customer-proportional): the volume-
+        # bounded single-column sort co-locates each key, so a run-scan
+        # completes every total without the flat fold's one-block
+        # all-customers table
+        if b.num_rows == 0:
+            return tot_schema.empty_table()
+        from logpipe_ray.stages.smallagg import run_starts
+
+        ck = b["custkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        tc = b["total_cents"].combine_chunks().to_numpy(zero_copy_only=False)
+        starts = run_starts(ck)
+        return pa.table(
+            {
+                "custkey": pa.array(ck[starts], type=pa.int64()),
+                "total_cents": pa.array(
+                    np.add.reduceat(tc, starts).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    totals = sorted_runs_fold(
         orders.map_batches(ord_partial, batch_format="pyarrow"),
         "custkey",
-        "total_cents",
+        cust_combine,
     )
 
     n_left = left.count()
@@ -2841,7 +2906,7 @@ def events_rollup(sf_dir: str):
     |types| rows leave any block), folded without a keyed shuffle
     (bounded cardinality), total row derived from the per-type table
     (result-sized) rather than a second scan."""
-    from logpipe_ray.stages.smallagg import fold_partials
+    from logpipe_ray.stages.smallagg import fold_partials_tree
 
     ds = _read(sf_dir, "events", ["event_type", "value"])
 
@@ -2874,7 +2939,7 @@ def events_rollup(sf_dir: str):
             )
         )
 
-    folded = fold_partials(
+    folded = fold_partials_tree(
         ds.map_batches(partial, batch_format="pyarrow"),
         "event_type",
         ["n_events", "sum_value_cents"],
@@ -2924,9 +2989,8 @@ def doc_rarity(sf_dir: str):
     hash-compared path.
 
     Distributed shape: pass 1 builds the word-frequency table from
-    per-batch ``np.unique`` partials folded once (vocab-bounded — at
-    real-corpus vocab sizes raise the fold to a two-level tree or a
-    keyed groupby); the vocab table is broadcast once via ``ray.put``;
+    per-batch ``np.unique`` partials tree-folded (vocab-bounded root,
+    fanin-bounded combine tasks at any corpus block count); the vocab table is broadcast once via ``ray.put``;
     pass 2 streams the corpus through one map_batches scoring every
     word with a vectorized searchsorted — corpus text never shuffles,
     no join touches the corpus."""
@@ -2935,7 +2999,7 @@ def doc_rarity(sf_dir: str):
     import ray as _ray
 
     from logpipe_ray.stages.dedup import batch_words
-    from logpipe_ray.stages.smallagg import fold_partials
+    from logpipe_ray.stages.smallagg import fold_partials_tree
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -2954,7 +3018,7 @@ def doc_rarity(sf_dir: str):
         )
 
     vocab_tbl = pa.concat_tables(
-        fold_partials(
+        fold_partials_tree(
             ds.map_batches(count_partial, batch_format="pyarrow"),
             "word",
             "cnt",
@@ -3415,20 +3479,27 @@ def source_mix(sf_dir: str):
     Distributed shape: pass 1 folds per-batch source counts (sources
     dimension-bounded) to a broadcast quota map; pass 2 is the
     source_cap kernel with per-source quotas — per-batch vectorized
-    partial cap (≤ Σquota rows leave any block), same kernel folds the
-    partials once. The corpus never globally sorts or shuffles."""
+    partial cap (≤ Σquota rows leave any block), same kernel tree-folds
+    the partials (quotas are corpus-dependent isqrt(count), so the flat
+    one-block fold would be the unbounded-cardinality trap). The corpus
+    never globally sorts or shuffles."""
     import math
 
     import numpy as np
 
     import ray as _ray
 
-    from logpipe_ray.stages.smallagg import count_partials, fold_partials, run_ranks
+    from logpipe_ray.stages.smallagg import (
+        count_partials,
+        fold_blocks_tree,
+        fold_partials_tree,
+        run_ranks,
+    )
 
     ds = _read(sf_dir, "documents", ["doc_id", "source"])
 
     counts = pa.concat_tables(
-        fold_partials(
+        fold_partials_tree(
             count_partials(ds, "source"), "source", "n"
         ).iter_batches(batch_format="pyarrow")
     )
@@ -3460,9 +3531,10 @@ def source_mix(sf_dir: str):
         )
 
     partials = ds.map_batches(cap_by_quota, batch_format="pyarrow")
-    return partials.repartition(1).map_batches(
-        cap_by_quota, batch_format="pyarrow", batch_size=None
-    )
+    # quotas are isqrt(per-source count) — corpus-dependent, so the flat
+    # one-block fold would hold n_blocks × Σ quota rows; the quota-cap
+    # selection is a merge, so tree-fold it with bounded task inputs
+    return fold_blocks_tree(partials, cap_by_quota)
 
 
 @query(
@@ -3491,12 +3563,12 @@ def events_approx_quantile(sf_dir: str):
     hash-exact (error ≤ bucket width, the stated contract of the op).
 
     Distributed shape: ≤ |buckets| rows leave any block (value range /
-    0.50 — bounded by data range, not corpus size), one fold, quantile
+    0.50 — bounded by data range, not corpus size), one tree fold, quantile
     scan over the single folded block. At 100 TB the sketch is still
     KBs; merging is associative so a two-level fold tree drops in."""
     import numpy as np
 
-    from logpipe_ray.stages.smallagg import count_partials, fold_partials
+    from logpipe_ray.stages.smallagg import count_partials, fold_partials_tree
 
     ds = _read(sf_dir, "events", ["value"])
 
@@ -3507,7 +3579,7 @@ def events_approx_quantile(sf_dir: str):
         # _pc_mod / stages/rank.py; a negative value would mis-bucket)
         return pa.table({"bucket": pc.divide(_cents(b["value"]), 50)})
 
-    folded = fold_partials(
+    folded = fold_partials_tree(
         count_partials(
             ds.map_batches(to_bucket, batch_format="pyarrow"), "bucket"
         ),
@@ -3553,7 +3625,7 @@ def orders_global_rank(sf_dir: str):
     """Corpus-wide ``row_number()`` (rank every order by price): the
     distributed two-level prefix-sum rank of
     :func:`logpipe_ray.stages.rank.global_rank` — per-batch bucket
-    histogram partials folded once, exclusive bucket offsets broadcast,
+    histogram partials tree-folded, exclusive bucket offsets broadcast,
     ONE bucket-keyed shuffle where each bucket sorts locally and adds
     its offset. No full-corpus driver sort; the driver holds only the
     buckets-row offsets table."""
@@ -3602,12 +3674,12 @@ def docs_stratified_split(sf_dir: str):
     import ray as _ray
 
     from logpipe_ray.stages.rank import global_rank
-    from logpipe_ray.stages.smallagg import count_partials, fold_partials
+    from logpipe_ray.stages.smallagg import count_partials, fold_partials_tree
 
     ds = _read(sf_dir, "documents", ["doc_id", "source"])
 
     totals = pa.concat_tables(
-        fold_partials(
+        fold_partials_tree(
             count_partials(ds, "source"), "source", "n"
         ).iter_batches(batch_format="pyarrow")
     )

@@ -419,10 +419,10 @@ def _sink_message_log(ds, topic_dir: str, **kw):
     """Produce rows into a partitioned message-log topic
     (logpipe-output-kafka analog; see sources/kafka_log.MessageLogSink)."""
     from logpipe_ray.sources.kafka_log import produce_messages
-    from logpipe_ray.stages.smallagg import fold_partials
+    from logpipe_ray.stages.smallagg import fold_partials_tree
 
     partials = produce_messages(ds, topic_dir, **kw)
-    return fold_partials(partials, "partition", "n_messages")
+    return fold_partials_tree(partials, "partition", "n_messages")
 
 
 @register_sink("es")
@@ -473,7 +473,7 @@ def _sink_es(ds, url: str | None = None, **kw):
 
 def _build_es_sink(ds, url, kw, *, batch_size, concurrency):
     from logpipe_ray.stages.es_sink import PARTIAL_SCHEMA, EsBulkSink
-    from logpipe_ray.stages.smallagg import fold_partials
+    from logpipe_ray.stages.smallagg import fold_partials_tree
 
     partials = ds.map_batches(
         EsBulkSink,
@@ -492,7 +492,7 @@ def _build_es_sink(ds, url, kw, *, batch_size, concurrency):
         else PARTIAL_SCHEMA.append(pa.field("sink", pa.string())).empty_table(),
         batch_format="pyarrow",
     )
-    return fold_partials(
+    return fold_partials_tree(
         partials, "sink", ["n_docs", "n_posts", "n_retries", "n_http_errors"]
     )
 
@@ -511,7 +511,7 @@ def _sink_tcp(ds, host: str | None = None, port: int | None = None, **kw):
     (README.md:1275-1338) in one config file; the spool dir persists
     for a downstream ``message_log``/``log_lines`` pipeline to tail."""
     from logpipe_ray.sources.tcp import TcpFrameSink, start_collector
-    from logpipe_ray.stages.smallagg import fold_partials
+    from logpipe_ray.stages.smallagg import fold_partials_tree
     from logpipe_ray.util import pool_size
 
     batch_size = kw.pop("batch_size", 8192)
@@ -537,7 +537,7 @@ def _sink_tcp(ds, host: str | None = None, port: int | None = None, **kw):
             concurrency=concurrency,
             num_cpus=0.5,
         )
-        out = fold_partials(partials, "source", "n_lines")
+        out = fold_partials_tree(partials, "source", "n_lines")
         if srv is not None:
             # the hosted collector must outlive the lazy pipeline:
             # execute now (counters are sink-cardinality small)

@@ -13,7 +13,7 @@ row counts instead of token counts:
 1. per-batch partials count rows per ordered key-range ``bucket``
    (``key // bucket_width``) — at most (blocks × buckets) tiny rows
    leave the map side, folded in ONE task
-   (:func:`logpipe_ray.stages.smallagg.fold_partials`, no keyed
+   (:func:`logpipe_ray.stages.smallagg.fold_partials_tree`, no keyed
    shuffle, no empty reduce partitions);
 2. exclusive bucket offsets (the count of all rows in lower buckets,
    per group) are broadcast via ``ray.put``;
@@ -40,7 +40,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from logpipe_ray.stages.smallagg import count_partials, fold_partials
+from logpipe_ray.stages.smallagg import count_partials, fold_partials_tree
 
 _PROC_CACHE: dict[str, object] = {}
 
@@ -85,7 +85,7 @@ def global_rank(
     keyed = ds.map_batches(add_bucket, batch_format="pyarrow").materialize()
 
     counts = pa.concat_tables(
-        fold_partials(
+        fold_partials_tree(
             count_partials(keyed, group_cols + ["bucket"]),
             group_cols + ["bucket"],
             "n",

@@ -80,6 +80,42 @@ def fold_partials(
     )
 
 
+def fold_blocks_tree(
+    partials: ray.data.Dataset,
+    combine: Callable[[pa.Table], pa.Table],
+    *,
+    fanin: int = 64,
+) -> ray.data.Dataset:
+    """Hierarchical fold of an arbitrary ASSOCIATIVE ``combine`` over a
+    partial-block stream whose BLOCK COUNT is unbounded: repeatedly
+    coalesce ``fanin`` blocks per combine task until ONE combined block
+    remains (the blocks each repartition coalesces are arbitrary, so
+    any >1-block output would still hold split state — only the
+    1-block root is a fold). ``combine`` must be a *merge*:
+    re-applicable to a concatenation of its own outputs with the same
+    result as one application to the raw partials (per-key sums,
+    min-k / cap selections, mergeable sketches). Every combine input is
+    ≤ fanin × max-partial-rows and every output ≤ one combined table —
+    bounded task memory at ANY corpus size, with no keyed shuffle and
+    therefore no empty reduce ranges. (A flat ``repartition(1)`` +
+    combine concatenates the whole n_blocks × partial-rows stream into
+    ONE block first — the one-block-fold trap once n_blocks is large.)
+    """
+    if fanin < 2:
+        raise ValueError(f"fanin must be ≥ 2, got {fanin}")
+    ds = partials.materialize()
+    nb = ds.num_blocks()
+    while True:  # ≥ 1 combine even for a 1-block stream (dups in-block)
+        nb = max(1, nb // fanin)
+        ds = (
+            ds.repartition(nb)
+            .map_batches(combine, batch_format="pyarrow", batch_size=None)
+            .materialize()
+        )
+        if nb <= 1:
+            return ds
+
+
 def fold_partials_tree(
     partials: ray.data.Dataset,
     keys: list[str] | str,
@@ -89,25 +125,24 @@ def fold_partials_tree(
 ) -> ray.data.Dataset:
     """Hierarchical :func:`fold_partials` for BOUNDED-DOMAIN keys whose
     partial STREAM is unbounded in block count (histograms over a fixed
-    value domain scanned from an arbitrarily large corpus): repeatedly
-    coalesce ``fanin`` partial blocks per combine task until ONE fully
-    combined block remains (the blocks repartition coalesces are
-    arbitrary, so any >1-block output would still hold split per-key
-    sums — only the 1-block root is a fold). Every combine input is
-    ≤ fanin × |domain| rows and every output ≤ |domain| — bounded task
-    memory at ANY corpus size, still no keyed shuffle and no empty
-    reduce ranges. (A flat ``fold_partials(num_blocks=1)`` concatenates
-    the whole n_blocks × |domain| stream into ONE block first — the
-    one-block-fold trap once n_blocks is large.)"""
-    if fanin < 2:
-        raise ValueError(f"fanin must be ≥ 2, got {fanin}")
-    ds = partials.materialize()
-    nb = ds.num_blocks()
-    while True:  # ≥ 1 fold even for a 1-block stream (dup keys in-block)
-        nb = max(1, nb // fanin)
-        ds = fold_partials(ds, keys, value_cols, num_blocks=nb).materialize()
-        if nb <= 1:
-            return ds
+    value domain scanned from an arbitrarily large corpus): the
+    :func:`fold_blocks_tree` shape with the per-key sum as the combine.
+    Every combine input is ≤ fanin × |domain| rows and every output
+    ≤ |domain| — bounded task memory at ANY corpus size."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    value_cols = [value_cols] if isinstance(value_cols, str) else list(value_cols)
+    out_cols = keys + value_cols
+
+    def combine(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.select(out_cols)
+        g = b.group_by(keys).aggregate([(c, "sum") for c in value_cols])
+        g = g.rename_columns(
+            [c[: -len("_sum")] if c.endswith("_sum") else c for c in g.column_names]
+        )
+        return g.select(out_cols)
+
+    return fold_blocks_tree(partials, combine, fanin=fanin)
 
 
 def grouped_agg(
@@ -128,6 +163,12 @@ def grouped_agg(
     ``sums`` maps OUTPUT column name → input column; ``count`` names a
     count(*) output column. Output columns: keys, then sums in dict
     order, then count.
+
+    The default ``num_blocks=1`` folds hierarchically
+    (:func:`fold_partials_tree`) so the partial stream's block count —
+    corpus-proportional — never concatenates into one task; pass
+    ``num_blocks>1`` for the flat repartition (partial, per-key-split
+    output).
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     sums = dict(sums or {})
@@ -156,6 +197,8 @@ def grouped_agg(
         return g.select(keys + out_vals)
 
     partial_ds = ds.map_batches(partial, batch_format="pyarrow")
+    if num_blocks == 1:
+        return fold_partials_tree(partial_ds, keys, out_vals)
     return fold_partials(partial_ds, keys, out_vals, num_blocks=num_blocks)
 
 

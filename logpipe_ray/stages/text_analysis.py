@@ -373,7 +373,7 @@ def lm_familiarity_scores(
     # and emit only candidate hashes — result-sized output, no
     # all-distinct table ever exists anywhere.
     from logpipe_ray.stages.smallagg import (
-        fold_partials,
+        fold_partials_tree,
         run_starts,
         sorted_runs_fold,
     )
@@ -412,11 +412,12 @@ def lm_familiarity_scores(
         return b.filter(pa.array(hit)).select(["bigram", "n"])
 
     model_tbl = (
-        fold_partials(
+        fold_partials_tree(
+            # candidate-proportional rows per block; the tree keeps each
+            # combine ≤ fanin × model rows at any fragment count
             partials.map_batches(keep_candidates, batch_format="pyarrow"),
             "bigram",
             "n",
-            num_blocks=1,  # candidate-proportional: ≤ model × fragments rows
         )
         .map_batches(
             lambda b: b.filter(pc.greater_equal(b["n"], min_count)),

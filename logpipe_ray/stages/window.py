@@ -192,21 +192,85 @@ def top_k(
     value_col: str,
     k: int = 10,
 ) -> ray.data.Dataset:
-    """Top-k keys by exact cents-sum (pre-agg → sort → limit).
+    """Top-k keys by exact cents-sum. Deterministic tie-break:
+    (sum desc, key asc).
 
-    Deterministic tie-break: (sum desc, key asc).
-    """
+    Distributed shape (keys are UNBOUNDED — users, domains): per-batch
+    pyarrow group_by partials (≤ distinct-keys-in-batch rows leave any
+    block — Ray's sort-based ``groupby().aggregate()`` would ship every
+    RAW row through the range sort instead), completed per key by
+    ``sorted_runs_fold`` over volume-bounded blocks, then each block's
+    local top-k (k rows) tree-merges via ``fold_blocks_tree`` — the
+    top-k selection re-sorts from scratch, so it is its own merge. The
+    final sort orders ≤ k rows.
 
-    def prep(b: pa.Table) -> pa.Table:
-        b = add_value_cents(b, value_col=value_col)
-        return b.select([key_col, "value_cents"])
+    ``key_col`` must be integer-valued (cast to int64 — the lexsort
+    tie-break and run-scan assume a numeric key); dictionary-encode
+    string keys upstream if needed."""
+    import numpy as np
 
-    totals = (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby(key_col)
-        .aggregate(Sum("value_cents", alias_name="total_cents"))
+    from logpipe_ray.stages.smallagg import (
+        fold_blocks_tree,
+        run_starts,
+        sorted_runs_fold,
     )
-    return totals.sort(["total_cents", key_col], descending=[True, False]).limit(k)
+
+    part_schema = pa.schema([(key_col, pa.int64()), ("total_cents", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = add_value_cents(b, value_col=value_col)
+        t = pa.table(
+            {
+                key_col: pc.cast(b[key_col], pa.int64()),
+                "total_cents": b["value_cents"],
+            }
+        )
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        g = t.group_by([key_col]).aggregate([("total_cents", "sum")])
+        g = g.rename_columns(
+            [c[: -len("_sum")] if c.endswith("_sum") else c for c in g.column_names]
+        )
+        return g.select(part_schema.names).cast(part_schema)
+
+    def key_combine(b: pa.Table) -> pa.Table:
+        # a key's rows are confined to this block (single-column sort)
+        if b.num_rows == 0:
+            return part_schema.empty_table()
+        kv = b[key_col].combine_chunks().to_numpy(zero_copy_only=False)
+        tc = b["total_cents"].combine_chunks().to_numpy(zero_copy_only=False)
+        starts = run_starts(kv)
+        return pa.table(
+            {
+                key_col: pa.array(kv[starts], type=pa.int64()),
+                "total_cents": pa.array(
+                    np.add.reduceat(tc, starts).astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return part_schema.empty_table()
+        kv = b[key_col].combine_chunks().to_numpy(zero_copy_only=False)
+        tc = b["total_cents"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = np.lexsort((kv, -tc))[:k]
+        return pa.table(
+            {
+                key_col: pa.array(kv[keep], type=pa.int64()),
+                "total_cents": pa.array(tc[keep], type=pa.int64()),
+            }
+        )
+
+    totals = sorted_runs_fold(
+        ds.map_batches(partial, batch_format="pyarrow"), key_col, key_combine
+    )
+    top = fold_blocks_tree(
+        totals.map_batches(local_topk, batch_format="pyarrow", batch_size=None),
+        local_topk,
+    )
+    return top.sort(["total_cents", key_col], descending=[True, False]).limit(k)
 
 
 def asof_join_by_key(

@@ -21,7 +21,7 @@ from __future__ import annotations
 import pyarrow as pa
 import ray.data
 
-from logpipe_ray.stages.smallagg import fold_partials
+from logpipe_ray.stages.smallagg import fold_partials_tree
 
 
 def partial_counters(batch: pa.Table) -> pa.Table:
@@ -44,9 +44,9 @@ def partial_counters(batch: pa.Table) -> pa.Table:
 def aggregate_counters(ds: ray.data.Dataset) -> ray.data.Dataset:
     """Dataset with (source, sink, n_tok) → final counters dataset.
 
-    The final fold is :func:`fold_partials` (single vectorized combine
+    The final fold is :func:`fold_partials_tree` (fanin-bounded combines
     over the tiny partials) rather than a groupby shuffle — the key
     cardinality is bounded, and a shuffle sized from the block count
     would leave most reduce partitions empty (zero-column blocks)."""
     partials = ds.map_batches(partial_counters, batch_format="pyarrow")
-    return fold_partials(partials, ["source", "sink"], ["n_rows", "sum_n_tok"])
+    return fold_partials_tree(partials, ["source", "sink"], ["n_rows", "sum_n_tok"])

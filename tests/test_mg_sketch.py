@@ -102,3 +102,23 @@ def test_heavy_hitters_refuses_uncertifiable(ray_session):
     ).repartition(4)
     with pytest.raises(ValueError, match="cannot certify"):
         heavy_hitters_exact_topk(ds, k=5, m=8, make_values=lambda b: b["w"])
+
+
+def test_heavy_hitters_exact_topk_multilevel_tree(ray_session):
+    """150 partial blocks force fold_blocks_tree through >1 merge level
+    (fanin 64): intermediate MERGED summaries are re-merged, D
+    accumulates along the tree, and the certified top-k still equals
+    ground truth exactly."""
+    stream = _zipf_stream(n=60000, vocab=2500, seed=13)
+    ds = ray.data.from_arrow(
+        pa.table({"w": pa.array(stream, type=pa.string())})
+    ).repartition(150)
+    k = 8
+    top = heavy_hitters_exact_topk(
+        ds, k=k, m=512, make_values=lambda b: b["w"]
+    )
+    vals, true = np.unique(stream, return_counts=True)
+    order = np.lexsort((vals, -true))
+    exp = [(vals[i], int(true[i])) for i in order[:k]]
+    got = list(zip(top["item"].to_pylist(), top["n"].to_pylist()))
+    assert got == exp

@@ -254,3 +254,69 @@ def test_fold_partials_tree_matches_flat_fold(ray_session):
     )
     df = fold_partials_tree(one, ["t", "c"], "n").to_pandas()
     assert len(df) == 1 and int(df["n"][0]) == 5
+
+
+def test_fold_blocks_tree_cap_merge_matches_flat(ray_session):
+    """Generic tree fold with a selection-merge combine (keep the 3
+    smallest ids per key — the source_cap shape): multiple tree levels
+    (fanin=2 over 33 blocks) produce exactly the flat global answer,
+    and every level's combine output stays ≤ cap × |keys| rows."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from logpipe_ray.stages.smallagg import fold_blocks_tree, run_ranks
+
+    CAP = 3
+
+    def cap_combine(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.select(["k", "id"])
+        k = b["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        i = b["id"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, k))
+        keep = order[run_ranks(k[order]) < CAP]
+        return pa.table(
+            {
+                "k": pa.array(k[keep], type=pa.string()),
+                "id": pa.array(i[keep], type=pa.int64()),
+            }
+        )
+
+    rng = np.random.default_rng(11)
+    tables = []
+    all_k, all_i = [], []
+    for _ in range(33):
+        n = int(rng.integers(4, 12))
+        ks = rng.choice(["a", "b", "c", "d"], n)
+        ids = rng.choice(10_000, n, replace=False).astype(np.int64)
+        all_k.append(ks)
+        all_i.append(ids)
+        tables.append(pa.table({"k": ks, "id": ids}))
+    ds = ray.data.from_arrow(tables).map_batches(
+        cap_combine, batch_format="pyarrow"
+    )
+    got = (
+        fold_blocks_tree(ds, cap_combine, fanin=2)
+        .to_pandas()
+        .sort_values(["k", "id"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        pd.DataFrame(
+            {"k": np.concatenate(all_k), "id": np.concatenate(all_i)}
+        )
+        .sort_values(["k", "id"])
+        .groupby("k", as_index=False)
+        .head(CAP)
+        .sort_values(["k", "id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert got.groupby("k").size().max() <= CAP
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        fold_blocks_tree(ds, cap_combine, fanin=1)
