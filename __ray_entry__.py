@@ -349,16 +349,18 @@ def _q_dedup_incremental(sf_dir: str):
     existing corpus. A new row is kept iff its token content appears
     nowhere in the corpus; first-wins (min doc_id) inside the batch.
 
-    Scale shape: membership is decided by ONE keyed shuffle of per-batch
-    pre-combined (hash, corpus_n, new_n, min new doc) partial rows — the
+    Scale shape: membership is decided by per-batch pre-combined
+    (hash, corpus_n, new_n, min new doc) partial rows completed by
+    ``sorted_runs_fold`` (hash domain is distinct-content-proportional —
+    the volume-bounded single-column sort replaces Ray's sort-based
+    groupby, measured 12.2× on all-distinct keys, BASELINE r5) — the
     corpus hash set is never broadcast and never collected, so the
     corpus side can be arbitrarily large. Token bytes never shuffle
     (content hash only; tokens are a pure function of m in the synth
     table, so the oracle can key on m — see seq_dedup_exact)."""
-    from ray.data.aggregate import Min, Sum
-
     from logpipe_ray.functions.tokens import add_tokens_hash
     from logpipe_ray.sources.sequences import synthesize_sequences
+    from logpipe_ray.stages.smallagg import sorted_runs_fold
 
     ds = synthesize_sequences(sf_dir)
 
@@ -382,7 +384,13 @@ def _q_dedup_incremental(sf_dir: str):
             }
         )
         # per-batch combiner: ≤ distinct-hashes rows leave the block
-        g = t.group_by("tokens_hash").aggregate(
+        return _inc_combine(t)
+
+    def _inc_combine(b: pa.Table) -> pa.Table:
+        cols = ["tokens_hash", "corpus_n", "new_n", "new_doc"]
+        if b.num_rows == 0:
+            return b.select(cols)
+        g = b.group_by("tokens_hash").aggregate(
             [("corpus_n", "sum"), ("new_n", "sum"), ("new_doc", "min")]
         )
         return g.rename_columns(
@@ -392,27 +400,24 @@ def _q_dedup_incremental(sf_dir: str):
                 else (c[: -len("_min")] if c.endswith("_min") else c)
                 for c in g.column_names
             ]
-        )
+        ).select(cols)
 
-    agg = (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby("tokens_hash")
-        .aggregate(
-            Sum("corpus_n", alias_name="corpus_n"),
-            Sum("new_n", alias_name="n_copies"),
-            Min("new_doc", alias_name="doc_id"),
-        )
+    # the per-batch combiner IS the merge: a hash's partial rows are
+    # co-located by the fold's single-column sort, so one re-application
+    # completes every (corpus_n, new_n, min new_doc) exactly
+    agg = sorted_runs_fold(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "tokens_hash",
+        _inc_combine,
     )
 
     def final(b: pa.Table) -> pa.Table:
-        keep = pc.and_(
-            pc.equal(b["corpus_n"], 0), pc.greater(b["n_copies"], 0)
-        )
+        keep = pc.and_(pc.equal(b["corpus_n"], 0), pc.greater(b["new_n"], 0))
         b = b.filter(keep)
         return pa.table(
             {
-                "doc_id": pc.cast(b["doc_id"], pa.string()),
-                "n_copies": pc.cast(b["n_copies"], pa.int64()),
+                "doc_id": pc.cast(b["new_doc"], pa.string()),
+                "n_copies": pc.cast(b["new_n"], pa.int64()),
             }
         )
 

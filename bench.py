@@ -461,8 +461,6 @@ def dedup_bench() -> None:
     # corpus: rows with doc_id%5==0 are the arriving batch. All texts
     # are unique here, so every new row must survive (n_kept == n_new —
     # any shortfall is a false drop).
-    from ray.data.aggregate import Sum as _Sum
-
     t3 = _time.time()
     ds4 = ray.data.read_parquet(f"{corpus}/d")
 
@@ -486,13 +484,25 @@ def dedup_bench() -> None:
             [c[: -len("_sum")] if c.endswith("_sum") else c for c in g.column_names]
         )
 
-    agg = (
-        ds4.map_batches(prep, batch_format="pyarrow")
-        .groupby("text_hash")
-        .aggregate(
-            _Sum("corpus_n", alias_name="corpus_n"),
-            _Sum("new_n", alias_name="new_n"),
+    def _inc_combine(b: _pa.Table) -> _pa.Table:
+        # a hash's partials are co-located by the fold's sort; the
+        # per-batch combiner is its own merge
+        cols = ["text_hash", "corpus_n", "new_n"]
+        if b.num_rows == 0:
+            return b.select(cols)
+        g = b.group_by("text_hash").aggregate(
+            [("corpus_n", "sum"), ("new_n", "sum")]
         )
+        return g.rename_columns(
+            [c[: -len("_sum")] if c.endswith("_sum") else c for c in g.column_names]
+        ).select(cols)
+
+    from logpipe_ray.stages.smallagg import sorted_runs_fold as _srf
+
+    agg = _srf(
+        ds4.map_batches(prep, batch_format="pyarrow"),
+        "text_hash",
+        _inc_combine,
     )
     kept = agg.map_batches(
         lambda b: _pa.table(

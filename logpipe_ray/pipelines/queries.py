@@ -817,23 +817,66 @@ def es_bulk_delivery(sf_dir: str):
        FROM documents GROUP BY text""",
 )
 def dedup_exact(sf_dir: str):
-    """Exact dedup: content hash → groupby(hash) → min-id representative.
-    Only (hash, id) pairs shuffle, never the text."""
-    from ray.data.aggregate import Min
+    """Exact dedup: content hash → min-id representative + copy count.
+    Only per-batch (hash, min_id, n) PARTIALS shuffle, never the text —
+    hash is UNBOUNDED (distinct-content-proportional), so the partials
+    complete through ``sorted_runs_fold`` (Ray's sort-based groupby
+    would range-sort every raw (hash, id) row instead)."""
+    import numpy as np
 
     from logpipe_ray.stages.dedup import add_text_hash
+    from logpipe_ray.stages.smallagg import run_starts, sorted_runs_fold
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    hashed = ds.map_batches(
-        lambda b: add_text_hash(b).select(["doc_id", "text_hash"]),
-        batch_format="pyarrow",
+
+    part_schema = pa.schema(
+        [
+            ("text_hash", pa.int64()),
+            ("doc_id", pa.int64()),
+            ("n_copies", pa.int64()),
+        ]
     )
-    out = hashed.groupby("text_hash").aggregate(
-        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies")
+
+    def hash_partial(b: pa.Table) -> pa.Table:
+        t = add_text_hash(b).select(["doc_id", "text_hash"])
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        g = t.group_by(["text_hash"]).aggregate(
+            [("doc_id", "min"), ([], "count_all")]
+        )
+        g = g.rename_columns(
+            [
+                {"doc_id_min": "doc_id", "count_all": "n_copies"}.get(c, c)
+                for c in g.column_names
+            ]
+        )
+        return g.select(part_schema.names).cast(part_schema)
+
+    def hash_combine(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return part_schema.empty_table()
+        h = b["text_hash"].combine_chunks().to_numpy(zero_copy_only=False)
+        did = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = b["n_copies"].combine_chunks().to_numpy(zero_copy_only=False)
+        starts = run_starts(h)
+        mn = np.minimum.reduceat(did, starts)
+        return pa.table(
+            {
+                "text_hash": pa.array(h[starts], type=pa.int64()),
+                "doc_id": pa.array(mn.astype(np.int64), type=pa.int64()),
+                "n_copies": pa.array(
+                    np.add.reduceat(n, starts).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    folded = sorted_runs_fold(
+        ds.map_batches(hash_partial, batch_format="pyarrow"),
+        "text_hash",
+        hash_combine,
     )
-    return out.map_batches(
-        lambda b: _i64(b.select(["doc_id", "n_copies"]), ["doc_id", "n_copies"]),
-        batch_format="pyarrow",
+    return folded.map_batches(
+        lambda b: b.select(["doc_id", "n_copies"]), batch_format="pyarrow"
     )
 
 
@@ -1997,8 +2040,13 @@ def tcp_roundtrip(sf_dir: str):
 def events_sliding(sf_dir: str):
     """Sliding window (width 3600s, slide 1800s): each event lands in two
     half-overlapping windows — emitted by duplicating rows with both
-    window ids in map_batches, then one groupby. Window id w covers
-    [w*1800, w*1800+3600)."""
+    window ids in map_batches. Window id w covers [w*1800, w*1800+3600).
+
+    (user, window) is UNBOUNDED, so per-batch pyarrow group_by partials
+    complete through ``sorted_runs_fold`` per user — Ray's sort-based
+    groupby would range-sort every duplicated raw row instead."""
+    from logpipe_ray.stages.smallagg import sorted_runs_fold
+
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
     def prep(b: pa.Table) -> pa.Table:
@@ -2014,10 +2062,37 @@ def events_sliding(sf_dir: str):
             }
         )
 
-    return (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby(["user_id", "window"])
-        .aggregate(Count(alias_name="n_events"))
+    slide_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("window", pa.int64()),
+            ("n_events", pa.int64()),
+        ]
+    )
+
+    def slide_partial(b: pa.Table) -> pa.Table:
+        b = prep(b)
+        if b.num_rows == 0:
+            return slide_schema.empty_table()
+        g = b.group_by(["user_id", "window"]).aggregate([([], "count_all")])
+        g = g.rename_columns(
+            ["n_events" if c == "count_all" else c for c in g.column_names]
+        )
+        return g.select(slide_schema.names).cast(slide_schema)
+
+    def slide_combine(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return slide_schema.empty_table()
+        g = b.group_by(["user_id", "window"]).aggregate([("n_events", "sum")])
+        g = g.rename_columns(
+            ["n_events" if c == "n_events_sum" else c for c in g.column_names]
+        )
+        return g.select(slide_schema.names).cast(slide_schema)
+
+    return sorted_runs_fold(
+        ds.map_batches(slide_partial, batch_format="pyarrow"),
+        "user_id",
+        slide_combine,
     )
 
 
@@ -2032,35 +2107,62 @@ def seq_dedup_exact(sf_dir: str):
     """Exact dedup over the token payload: per-row blake2b content hash
     of the token bytes (functions/tokens.add_tokens_hash — measured
     faster than the vectorized kernel at these row lengths, see its
-    docstring) → groupby(hash) → (one row) corpus dedup stats."""
+    docstring) → per-batch (hash, n) value_counts partials completed by
+    ``sorted_runs_fold`` (hash domain is distinct-content-proportional;
+    Ray's sort-based groupby would range-sort every raw hash row) →
+    (one row) corpus dedup stats."""
+    import numpy as np
+
     from logpipe_ray.functions.tokens import add_tokens_hash
     from logpipe_ray.sources.sequences import synthesize_sequences
+    from logpipe_ray.stages.smallagg import run_starts, sorted_runs_fold
 
     ds = synthesize_sequences(sf_dir)
+    hp_schema = pa.schema([("tokens_hash", pa.int64()), ("n", pa.int64())])
 
-    def hash_tokens(b: pa.Table) -> pa.Table:
-        return add_tokens_hash(b).select(["tokens_hash"])
+    def hash_partial(b: pa.Table) -> pa.Table:
+        h = add_tokens_hash(b)["tokens_hash"].combine_chunks()
+        if len(h) == 0:
+            return hp_schema.empty_table()
+        vc = h.value_counts()
+        return pa.table(
+            {
+                "tokens_hash": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        ).cast(hp_schema)
 
-    hashed = ds.map_batches(hash_tokens, batch_format="pyarrow")
-    groups = hashed.groupby("tokens_hash").aggregate(Count(alias_name="n"))
-    # fold the three corpus stats distributedly — one row per unique
-    # sequence never leaves the cluster (only 3 int64 partials per block)
-    import pandas as pd
-
-    def fold(b: pa.Table) -> pa.Table:
-        n = b["n"]
-        total = pc.sum(n).as_py() or 0
+    def stats_combine(b: pa.Table) -> pa.Table:
+        # a hash's partial rows are confined to this block, so each
+        # distinct sequence is counted exactly once across all blocks;
+        # only 3 int64 partials leave the block
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "n_rows": pa.array([], type=pa.int64()),
+                    "n_unique_sequences": pa.array([], type=pa.int64()),
+                    "n_dupe_rows": pa.array([], type=pa.int64()),
+                }
+            )
+        h = b["tokens_hash"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = b["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        total = int(n.sum())
+        uniq = int(len(run_starts(h)))
         return pa.table(
             {
                 "n_rows": pa.array([total], type=pa.int64()),
-                "n_unique_sequences": pa.array([b.num_rows], type=pa.int64()),
-                "n_dupe_rows": pa.array([total - b.num_rows], type=pa.int64()),
+                "n_unique_sequences": pa.array([uniq], type=pa.int64()),
+                "n_dupe_rows": pa.array([total - uniq], type=pa.int64()),
             }
         )
 
-    agg = groups.map_batches(fold, batch_format="pyarrow").sum(
-        ["n_rows", "n_unique_sequences", "n_dupe_rows"]
-    )
+    import pandas as pd
+
+    agg = sorted_runs_fold(
+        ds.map_batches(hash_partial, batch_format="pyarrow"),
+        "tokens_hash",
+        stats_combine,
+    ).sum(["n_rows", "n_unique_sequences", "n_dupe_rows"])
     return pd.DataFrame(
         {
             "n_rows": [int(agg["sum(n_rows)"])],

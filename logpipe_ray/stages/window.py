@@ -80,20 +80,56 @@ def tumbling_aggregate(
     value_col: str = "value",
     width_s: int = 3600,
 ) -> ray.data.Dataset:
-    """count + exact cents-sum per (key, tumbling window)."""
+    """count + exact cents-sum per (key, tumbling window).
 
-    def prep(b: pa.Table) -> pa.Table:
+    Distributed shape ((key, window) is UNBOUNDED): per-batch pyarrow
+    group_by partials — Ray's sort-based ``groupby().aggregate()``
+    would range-sort every RAW event row instead — completed per key by
+    ``sorted_runs_fold`` (single-column sort co-locates a key; the
+    combine re-groups (key, window) within the block)."""
+    from logpipe_ray.stages.smallagg import sorted_runs_fold
+
+    out_cols = [key_col, "window", "n_events", "sum_value_cents"]
+
+    def _group(b: pa.Table, n_col: str) -> pa.Table:
+        g = b.group_by([key_col, "window"]).aggregate(
+            [([], "count_all"), (n_col, "sum")]
+            if n_col == "value_cents"
+            else [("n_events", "sum"), (n_col, "sum")]
+        )
+        rename = {
+            "count_all": "n_events",
+            "n_events_sum": "n_events",
+            "value_cents_sum": "sum_value_cents",
+            "sum_value_cents_sum": "sum_value_cents",
+        }
+        g = g.rename_columns([rename.get(c, c) for c in g.column_names])
+        return g.select(out_cols)
+
+    def partial(b: pa.Table) -> pa.Table:
         b = add_tumbling_window(b, ts_col=ts_col, width_s=width_s)
         b = add_value_cents(b, value_col=value_col)
-        return b.select([key_col, "window", "value_cents"])
+        b = b.select([key_col, "window", "value_cents"])
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: b[key_col],
+                    "window": b["window"],
+                    "n_events": pa.array([], type=pa.int64()),
+                    "sum_value_cents": pa.array([], type=pa.int64()),
+                }
+            )
+        return _group(b, "value_cents")
 
-    return (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby([key_col, "window"])
-        .aggregate(
-            Count(alias_name="n_events"),
-            Sum("value_cents", alias_name="sum_value_cents"),
-        )
+    def combine(b: pa.Table) -> pa.Table:
+        # a key's partial rows are confined to this block (single-column
+        # sort invariant), so re-grouping completes every (key, window)
+        if b.num_rows == 0:
+            return b.select(out_cols)
+        return _group(b, "sum_value_cents")
+
+    return sorted_runs_fold(
+        ds.map_batches(partial, batch_format="pyarrow"), key_col, combine
     )
 
 
