@@ -238,8 +238,25 @@ def _q_seq_weighted_sample(sf_dir: str):
         )
         return tbl.take(pa.array(np.sort(order)))
 
+    def topk_merge(b: pa.Table) -> pa.Table:
+        # same global (key desc, doc_id asc) selection over already-
+        # partial rows — its own merge, so the K-bounded partials
+        # tree-fold instead of feeding a distributed sort
+        if b.num_rows == 0:
+            return b.select(["doc_id", "sample_key"])
+        key = b["sample_key"].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -key))[:K]
+        return b.select(["doc_id", "sample_key"]).take(
+            pa.array(np.sort(order))
+        )
+
+    from logpipe_ray.stages.smallagg import fold_blocks_tree
+
     top = (
-        ds.map_batches(topk_partial, batch_format="pyarrow")
+        fold_blocks_tree(
+            ds.map_batches(topk_partial, batch_format="pyarrow"), topk_merge
+        )
         .sort(["sample_key", "doc_id"], descending=[True, False])
         .limit(K)
     )

@@ -83,10 +83,10 @@ def approx_distinct_by_key(
     """Approximate count-distinct(value) per key.
 
     map_batches emits one serialized partial sketch per (key, batch);
-    groupby(key).map_groups merges sketches and estimates. Only sketch
-    rows (≤ k int64s each) shuffle.
+    the partials tree-merge via ``fold_blocks_tree`` (KMV merge =
+    union + truncate-to-k — mergeable along any tree), so no keyed
+    shuffle runs at all and only sketch rows (≤ k int64s each) move.
     """
-    import pandas as pd
 
     def partials(b: pa.Table) -> pa.Table:
         keys_out, sk_out = [], []
@@ -105,18 +105,48 @@ def approx_distinct_by_key(
             }
         )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        sketches = [np.asarray(s, dtype=np.int64) for s in g["sketch"]]
-        est = kmv_estimate(kmv_merge(sketches, k), k)
-        return pd.DataFrame(
-            {key_col: [g[key_col].iloc[0]], "approx_distinct": [round(est)]}
+    def merge_sketches(b: pa.Table) -> pa.Table:
+        # per-key KMV merge of whatever partial rows this block holds;
+        # re-applicable to its own output (union+truncate semilattice)
+        if b.num_rows == 0:
+            return b.select([key_col, "sketch"])
+        enc = pa.compute.dictionary_encode(b[key_col])
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        sk = b["sketch"].to_pylist()
+        keys_out, sk_out = [], []
+        for code, key in enumerate(enc.dictionary.to_pylist()):
+            parts = [
+                np.asarray(sk[i], dtype=np.int64)
+                for i in np.flatnonzero(idx == code)
+            ]
+            keys_out.append(key)
+            sk_out.append(kmv_merge(parts, k).tolist())
+        return pa.table(
+            {
+                key_col: pa.array(keys_out),
+                "sketch": pa.array(sk_out, type=pa.list_(pa.int64())),
+            }
         )
 
-    return (
-        ds.map_batches(partials, batch_format="pyarrow", batch_size=batch_size)
-        .groupby(key_col)
-        .map_groups(merge, batch_format="pandas")
+    from logpipe_ray.stages.smallagg import fold_blocks_tree
+
+    root = fold_blocks_tree(
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=batch_size),
+        merge_sketches,
     )
+
+    def estimate(b: pa.Table) -> pa.Table:
+        ests = [
+            round(kmv_estimate(np.asarray(s, dtype=np.int64), k))
+            for s in b["sketch"].to_pylist()
+        ]
+        return pa.table(
+            {key_col: b[key_col], "approx_distinct": pa.array(ests)}
+        )
+
+    return root.map_batches(estimate, batch_format="pyarrow", batch_size=None)
 
 
 # --- Misra–Gries heavy hitters ---------------------------------------------

@@ -30,10 +30,11 @@ first-class failure-injection style as the TCP collector's
 ``fail_next_files`` — used by tests/test_ingest_chaos.py to prove the
 contract at every boundary.
 
-Scale shape per tick (unchanged from the r3/r4 design): membership is
-ONE keyed shuffle of per-batch (source, text_hash) partials unioned
-with the hash-state rows — corpus state is never broadcast and never
-re-hashed; the shuffle carries partial rows only. The state store's LSM
+Scale shape per tick: membership is one volume-bounded
+``sorted_runs_fold`` over the per-batch (source, text_hash) partials
+unioned with the hash-state rows — corpus state is never broadcast and
+never re-hashed; the sort carries partial rows only (r5: replaced Ray's
+sort-based groupby, 12.2× measured on all-distinct keys, BASELINE). The state store's LSM
 compaction bounds the per-tick read fan-in to O(max_segments) files no
 matter how many ticks have run.
 """
@@ -47,7 +48,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data
-from ray.data.aggregate import Min, Sum
 
 from logpipe_ray.sources.stream import DirectoryTailSource
 from logpipe_ray.state.hashstate import HashStateStore
@@ -147,15 +147,35 @@ def ingest_tick(
             )
         )
 
-    agg = (
-        parts.groupby(["source", "text_hash"])
-        .aggregate(
-            Sum("corpus_n", alias_name="corpus_n"),
-            Sum("new_n", alias_name="new_n"),
-            Min("text", alias_name="text"),
+    def _merge(b: pa.Table) -> pa.Table:
+        # a hash's rows (tick + state, all sources) are co-located by
+        # the fold's single-column sort; min(text) skips the state
+        # side's nulls, so the surviving new text rides along — text
+        # volume in the shuffle is tick-bounded (state rows carry null)
+        cols = ["source", "text_hash", "corpus_n", "new_n", "text"]
+        if b.num_rows == 0:
+            return b.select(cols)
+        g = b.group_by(["source", "text_hash"]).aggregate(
+            [("corpus_n", "sum"), ("new_n", "sum"), ("text", "min")]
         )
+        g = g.rename_columns(
+            [
+                c[: -len("_sum")]
+                if c.endswith("_sum")
+                else (c[: -len("_min")] if c.endswith("_min") else c)
+                for c in g.column_names
+            ]
+        )
+        return g.select(cols)
+
+    from logpipe_ray.stages.smallagg import sorted_runs_fold
+
+    agg = (
+        # hash domain is corpus-proportional: volume-bounded sort fold,
+        # not Ray's sort-based groupby (12.2× measured, BASELINE r5)
+        sorted_runs_fold(parts, "text_hash", _merge)
         # two consumers (survivors + seen counters) — without this the
-        # tail byte reads, hashing, state read and keyed shuffle all
+        # tail byte reads, hashing, state read and sort fold all
         # re-execute per consumer
         .materialize()
     )
@@ -178,17 +198,9 @@ def ingest_tick(
         raise IngestCrash("injected: after routed append, before state append")
 
     # seen counts include dropped dups: fold new_n over ALL groups
-    seen_tbl = (
-        agg.map_batches(
-            lambda b: pa.table(
-                {"source": b["source"], "n": pc.cast(b["new_n"], pa.int64())}
-            ),
-            batch_format="pyarrow",
-        )
-        .groupby("source")
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
-    )
+    from logpipe_ray.stages.smallagg import grouped_agg
+
+    seen_tbl = grouped_agg(agg, "source", sums={"n": "new_n"}).to_pandas()
     seen = {r["source"]: int(r["n"]) for _, r in seen_tbl.iterrows()}
     ingested: dict[str, int] = {}
     if len(counted):  # a tick may ingest nothing (all dups)

@@ -443,18 +443,42 @@ def join_anti(sf_dir: str):
        ORDER BY total_cents DESC, o_orderkey LIMIT 10""",
 )
 def sort_topk_orders(sf_dir: str):
-    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    """Global top-10 orders by price. No distributed sort at all: each
+    block's local top-10 (10 rows leave any block) tree-merges via
+    ``fold_blocks_tree`` (the selection re-sorts from scratch, so it is
+    its own merge) — a full ``Dataset.sort().limit(10)`` would shuffle
+    the whole table for 10 rows. The final sort orders ≤ 10 rows."""
+    import numpy as np
 
-    def prep(b: pa.Table) -> pa.Table:
+    from logpipe_ray.stages.smallagg import fold_blocks_tree
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    top_schema = pa.schema([("o_orderkey", pa.int64()), ("total_cents", pa.int64())])
+
+    def local_top(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return top_schema.empty_table()
+        if "o_totalprice" in b.column_names:  # first application: prep
+            b = pa.table(
+                {
+                    "o_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                    "total_cents": _cents(b["o_totalprice"]),
+                }
+            )
+        k = b["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        c = b["total_cents"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = np.lexsort((k, -c))[:10]
         return pa.table(
-            {"o_orderkey": b["o_orderkey"], "total_cents": _cents(b["o_totalprice"])}
+            {
+                "o_orderkey": pa.array(k[keep], type=pa.int64()),
+                "total_cents": pa.array(c[keep], type=pa.int64()),
+            }
         )
 
-    return (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .sort(["total_cents", "o_orderkey"], descending=[True, False])
-        .limit(10)
+    top = fold_blocks_tree(
+        ds.map_batches(local_top, batch_format="pyarrow"), local_top
     )
+    return top.sort(["total_cents", "o_orderkey"], descending=[True, False]).limit(10)
 
 
 # ---------------------------------------------------------------------------
