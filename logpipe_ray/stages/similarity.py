@@ -133,9 +133,12 @@ def knn_topk(
     cell_gate=None,
 ) -> ray.data.Dataset:
     """Global top-k neighbors per query: partial top-k per batch →
-    per-query merge (pandas sort inside map_groups) → ranked rows
-    (query_id, rank, neighbor_id). Rank ties broken by neighbor_id."""
-    import pandas as pd
+    hierarchical per-query top-k merge (top-k selection is associative,
+    so the ≤ n_queries × (k+1)-row partials tree-fold via
+    ``fold_blocks_tree`` — no keyed shuffle of n_blocks partial tables)
+    → ranked rows (query_id, rank, neighbor_id). Rank ties broken by
+    neighbor_id."""
+    from logpipe_ray.stages.smallagg import fold_blocks_tree, run_ranks
 
     ref = ray.put({"ids": list(query_ids), "matrix": np.asarray(query_matrix)})
     partials = ds.map_batches(
@@ -146,20 +149,35 @@ def knn_topk(
         batch_size=batch_size,
     )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["cosine", "neighbor_id"], ascending=[False, True]
-        ).head(k)
-        g = g.reset_index(drop=True)
-        return pd.DataFrame(
+    def _topk_order(b: pa.Table):
+        q = b["query_id"].to_numpy(zero_copy_only=False)
+        cs = b["cosine"].to_numpy(zero_copy_only=False)
+        nb = b["neighbor_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nb, -cs, q))  # query, cosine desc, neighbor asc
+        return order, q[order]
+
+    def combine(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        order, qs = _topk_order(b)
+        keep = run_ranks(qs) < k  # top-k per query survives each level
+        return b.take(pa.array(order[keep], type=pa.int64()))
+
+    def finish(b: pa.Table) -> pa.Table:
+        order, qs = _topk_order(b)
+        return pa.table(
             {
-                "query_id": g["query_id"].astype("int64"),
-                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
-                "neighbor_id": g["neighbor_id"].astype("int64"),
+                "query_id": pa.array(qs, type=pa.int64()),
+                "rank": pa.array(run_ranks(qs) + 1, type=pa.int64()),
+                "neighbor_id": b["neighbor_id"].take(
+                    pa.array(order, type=pa.int64())
+                ),
             }
         )
 
-    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return fold_blocks_tree(partials, combine).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )
 
 
 # --- LSH-bucketed ANN (scale path) ----------------------------------------
