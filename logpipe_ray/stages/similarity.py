@@ -539,9 +539,13 @@ def topk_cosine_pairs_distributed(
     pattern), build the C(C+1)/2 chunk-pair work list as a Dataset, and
     score each pair block inside an actor-pool ``map_batches`` (per-actor
     chunk cache). Only per-task top-k partials (k rows each) leave the
-    tasks; the global merge sorts k × n_tasks rows. Because chunks
-    partition the ids, every unordered pair is scored exactly once.
+    tasks, and the global merge is a hierarchical top-k tree-fold
+    (``fold_blocks_tree`` — top-k selection is associative): no task or
+    the driver ever holds the k × C(C+1)/2 partial stream, which is
+    QUADRATIC in corpus size. Because chunks partition the ids, every
+    unordered pair is scored exactly once.
     """
+    from logpipe_ray.stages.smallagg import fold_blocks_tree
     from logpipe_ray.util import pool_size
 
     items, tmp_dir = _chunk_pair_worklist(
@@ -553,11 +557,19 @@ def topk_cosine_pairs_distributed(
         batch_size=1,
         concurrency=pool_size(per_actor_cpus=1.0, cap=max(1, len(items))),
     )
+
+    def combine(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        cs = b["cosine"].to_numpy(zero_copy_only=False)
+        va = b["vec_a"].to_numpy(zero_copy_only=False)
+        vb = b["vec_b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vb, va, -cs))[:k]  # cosine desc, then (a, b)
+        return b.take(pa.array(order, type=pa.int64()))
+
+    top = fold_blocks_tree(partials, combine).take_all()
     rows = sorted(
-        (
-            (r["cosine"], r["vec_a"], r["vec_b"])
-            for r in partials.take_all()
-        ),
+        ((r["cosine"], r["vec_a"], r["vec_b"]) for r in top),
         key=lambda r: (-r[0], r[1], r[2]),
     )[:k]
     return pa.table(
