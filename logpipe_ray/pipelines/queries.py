@@ -17,7 +17,6 @@ from typing import Any, Callable
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Count, Sum
 
 QUERIES: dict[str, Callable[[str], Any]] = {}
 ORACLES: dict[str, str] = {}

@@ -121,50 +121,35 @@ class BruteForceKnn:
         )
 
 
-def knn_topk(
-    ds: ray.data.Dataset,
-    query_ids: list[int],
-    query_matrix: np.ndarray,
-    *,
-    k: int = 5,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    batch_size: int = 4096,
-    cell_gate=None,
-) -> ray.data.Dataset:
-    """Global top-k neighbors per query: partial top-k per batch →
-    hierarchical per-query top-k merge (top-k selection is associative,
-    so the ≤ n_queries × (k+1)-row partials tree-fold via
-    ``fold_blocks_tree`` — no keyed shuffle of n_blocks partial tables)
-    → ranked rows (query_id, rank, neighbor_id). Rank ties broken by
+def _knn_topk_order(b: pa.Table):
+    q = b["query_id"].to_numpy(zero_copy_only=False)
+    cs = b["cosine"].to_numpy(zero_copy_only=False)
+    nb = b["neighbor_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((nb, -cs, q))  # query, cosine desc, neighbor asc
+    return order, q[order]
+
+
+def merge_knn_partials(partials: ray.data.Dataset, k: int) -> ray.data.Dataset:
+    """Global per-query top-k merge of (query_id, neighbor_id, cosine)
+    partial tables: hierarchical tree-fold (top-k selection is
+    associative — re-selecting from a concatenation of selections
+    equals one selection over the raw rows), no keyed shuffle of the
+    corpus-block-proportional partial stream (bench:
+    scripts/bench_knn_merge_ab.py — the sort-groupby it replaced plans
+    reduce ranges from the BLOCK count while only n_queries keys exist).
+    Returns ranked rows (query_id, rank, neighbor_id); ties broken by
     neighbor_id."""
     from logpipe_ray.stages.smallagg import fold_blocks_tree, run_ranks
-
-    ref = ray.put({"ids": list(query_ids), "matrix": np.asarray(query_matrix)})
-    partials = ds.map_batches(
-        BruteForceKnn(
-            ref, vec_col=vec_col, id_col=id_col, k=k + 1, cell_gate=cell_gate
-        ),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-    )
-
-    def _topk_order(b: pa.Table):
-        q = b["query_id"].to_numpy(zero_copy_only=False)
-        cs = b["cosine"].to_numpy(zero_copy_only=False)
-        nb = b["neighbor_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((nb, -cs, q))  # query, cosine desc, neighbor asc
-        return order, q[order]
 
     def combine(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return b
-        order, qs = _topk_order(b)
+        order, qs = _knn_topk_order(b)
         keep = run_ranks(qs) < k  # top-k per query survives each level
         return b.take(pa.array(order[keep], type=pa.int64()))
 
     def finish(b: pa.Table) -> pa.Table:
-        order, qs = _topk_order(b)
+        order, qs = _knn_topk_order(b)
         return pa.table(
             {
                 "query_id": pa.array(qs, type=pa.int64()),
@@ -178,6 +163,31 @@ def knn_topk(
     return fold_blocks_tree(partials, combine).map_batches(
         finish, batch_format="pyarrow", batch_size=None
     )
+
+
+def knn_topk(
+    ds: ray.data.Dataset,
+    query_ids: list[int],
+    query_matrix: np.ndarray,
+    *,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    batch_size: int = 4096,
+    cell_gate=None,
+) -> ray.data.Dataset:
+    """Global top-k neighbors per query: partial top-k per batch →
+    :func:`merge_knn_partials` (hierarchical per-query top-k tree-fold)
+    → ranked rows (query_id, rank, neighbor_id)."""
+    ref = ray.put({"ids": list(query_ids), "matrix": np.asarray(query_matrix)})
+    partials = ds.map_batches(
+        BruteForceKnn(
+            ref, vec_col=vec_col, id_col=id_col, k=k + 1, cell_gate=cell_gate
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    return merge_knn_partials(partials, k)
 
 
 # --- LSH-bucketed ANN (scale path) ----------------------------------------

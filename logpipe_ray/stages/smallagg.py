@@ -62,6 +62,16 @@ def fold_partials(
     but with a fixed, tiny reduce side: no reduce partition can be
     empty, so no zero-column blocks reach the streaming executor.
     """
+    return partials.repartition(num_blocks).map_batches(
+        _sum_combine(keys, value_cols), batch_format="pyarrow", batch_size=None
+    )
+
+
+def _sum_combine(
+    keys: list[str] | str, value_cols: list[str] | str
+) -> Callable[[pa.Table], pa.Table]:
+    """Per-key sum merge (input column names preserved) — the combine
+    shared by :func:`fold_partials` and :func:`fold_partials_tree`."""
     keys = [keys] if isinstance(keys, str) else list(keys)
     value_cols = [value_cols] if isinstance(value_cols, str) else list(value_cols)
     out_cols = keys + value_cols
@@ -75,9 +85,7 @@ def fold_partials(
         )
         return g.select(out_cols)
 
-    return partials.repartition(num_blocks).map_batches(
-        combine, batch_format="pyarrow", batch_size=None
-    )
+    return combine
 
 
 def fold_blocks_tree(
@@ -106,7 +114,8 @@ def fold_blocks_tree(
     ds = partials.materialize()
     nb = ds.num_blocks()
     while True:  # ≥ 1 combine even for a 1-block stream (dups in-block)
-        nb = max(1, nb // fanin)
+        nb = max(1, -(-nb // fanin))  # ceil: floor would hand one task
+        # up to 2*fanin-1 blocks (e.g. 127//64 = 1), breaking the bound
         ds = (
             ds.repartition(nb)
             .map_batches(combine, batch_format="pyarrow", batch_size=None)
@@ -129,20 +138,7 @@ def fold_partials_tree(
     :func:`fold_blocks_tree` shape with the per-key sum as the combine.
     Every combine input is ≤ fanin × |domain| rows and every output
     ≤ |domain| — bounded task memory at ANY corpus size."""
-    keys = [keys] if isinstance(keys, str) else list(keys)
-    value_cols = [value_cols] if isinstance(value_cols, str) else list(value_cols)
-    out_cols = keys + value_cols
-
-    def combine(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return b.select(out_cols)
-        g = b.group_by(keys).aggregate([(c, "sum") for c in value_cols])
-        g = g.rename_columns(
-            [c[: -len("_sum")] if c.endswith("_sum") else c for c in g.column_names]
-        )
-        return g.select(out_cols)
-
-    return fold_blocks_tree(partials, combine, fanin=fanin)
+    return fold_blocks_tree(partials, _sum_combine(keys, value_cols), fanin=fanin)
 
 
 def grouped_agg(

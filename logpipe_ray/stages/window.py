@@ -37,7 +37,6 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Count, Sum
 
 from logpipe_ray.stages.smallagg import run_starts
 
@@ -240,9 +239,8 @@ def top_k(
     top-k selection re-sorts from scratch, so it is its own merge. The
     final sort orders ≤ k rows.
 
-    ``key_col`` must be integer-valued (cast to int64 — the lexsort
-    tie-break and run-scan assume a numeric key); dictionary-encode
-    string keys upstream if needed."""
+    ``key_col`` keeps its input type (int, string, ...) — the run-scan
+    and lexsort tie-break are dtype-generic."""
     import numpy as np
 
     from logpipe_ray.stages.smallagg import (
@@ -251,34 +249,35 @@ def top_k(
         sorted_runs_fold,
     )
 
-    part_schema = pa.schema([(key_col, pa.int64()), ("total_cents", pa.int64())])
+    def _empty(b: pa.Table) -> pa.Table:
+        return pa.schema(
+            [(key_col, b.schema.field(key_col).type), ("total_cents", pa.int64())]
+        ).empty_table()
 
     def partial(b: pa.Table) -> pa.Table:
         b = add_value_cents(b, value_col=value_col)
-        t = pa.table(
-            {
-                key_col: pc.cast(b[key_col], pa.int64()),
-                "total_cents": b["value_cents"],
-            }
-        )
+        t = pa.table({key_col: b[key_col], "total_cents": b["value_cents"]})
         if t.num_rows == 0:
-            return part_schema.empty_table()
+            return _empty(t)
         g = t.group_by([key_col]).aggregate([("total_cents", "sum")])
         g = g.rename_columns(
             [c[: -len("_sum")] if c.endswith("_sum") else c for c in g.column_names]
         )
-        return g.select(part_schema.names).cast(part_schema)
+        g = g.select([key_col, "total_cents"])
+        return g.set_column(
+            1, "total_cents", pc.cast(g["total_cents"], pa.int64())
+        )
 
     def key_combine(b: pa.Table) -> pa.Table:
         # a key's rows are confined to this block (single-column sort)
         if b.num_rows == 0:
-            return part_schema.empty_table()
+            return _empty(b)
         kv = b[key_col].combine_chunks().to_numpy(zero_copy_only=False)
         tc = b["total_cents"].combine_chunks().to_numpy(zero_copy_only=False)
         starts = run_starts(kv)
         return pa.table(
             {
-                key_col: pa.array(kv[starts], type=pa.int64()),
+                key_col: b[key_col].take(pa.array(starts, type=pa.int64())),
                 "total_cents": pa.array(
                     np.add.reduceat(tc, starts).astype(np.int64),
                     type=pa.int64(),
@@ -288,13 +287,13 @@ def top_k(
 
     def local_topk(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
-            return part_schema.empty_table()
+            return _empty(b)
         kv = b[key_col].combine_chunks().to_numpy(zero_copy_only=False)
         tc = b["total_cents"].combine_chunks().to_numpy(zero_copy_only=False)
         keep = np.lexsort((kv, -tc))[:k]
         return pa.table(
             {
-                key_col: pa.array(kv[keep], type=pa.int64()),
+                key_col: b[key_col].take(pa.array(keep, type=pa.int64())),
                 "total_cents": pa.array(tc[keep], type=pa.int64()),
             }
         )

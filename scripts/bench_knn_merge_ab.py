@@ -93,37 +93,10 @@ def merge_a_groupby(partials: ray.data.Dataset) -> pd.DataFrame:
 
 
 def merge_b_tree(partials: ray.data.Dataset) -> pd.DataFrame:
-    from logpipe_ray.stages.smallagg import fold_blocks_tree, run_ranks
+    # the SHIPPED merge — knn_topk's actual fold, not a copy
+    from logpipe_ray.stages.similarity import merge_knn_partials
 
-    def _topk_order(b: pa.Table):
-        q = b["query_id"].to_numpy(zero_copy_only=False)
-        cs = b["cosine"].to_numpy(zero_copy_only=False)
-        nb = b["neighbor_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((nb, -cs, q))
-        return order, q[order]
-
-    def combine(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return b
-        order, qs = _topk_order(b)
-        keep = run_ranks(qs) < K
-        return b.take(pa.array(order[keep], type=pa.int64()))
-
-    def finish(b: pa.Table) -> pa.Table:
-        order, qs = _topk_order(b)
-        return pa.table(
-            {
-                "query_id": pa.array(qs, type=pa.int64()),
-                "rank": pa.array(run_ranks(qs) + 1, type=pa.int64()),
-                "neighbor_id": b["neighbor_id"].take(pa.array(order, type=pa.int64())),
-            }
-        )
-
-    return (
-        fold_blocks_tree(partials, combine)
-        .map_batches(finish, batch_format="pyarrow", batch_size=None)
-        .to_pandas()
-    )
+    return merge_knn_partials(partials, K).to_pandas()
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:

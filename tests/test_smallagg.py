@@ -320,3 +320,59 @@ def test_fold_blocks_tree_cap_merge_matches_flat(ray_session):
 
     with pytest.raises(ValueError):
         fold_blocks_tree(ds, cap_combine, fanin=1)
+
+
+def test_fold_blocks_tree_fanin_bound(ray_session):
+    """Ceil-division level sizing: no combine task may receive more
+    than ~fanin blocks' worth of rows. 127 one-row partials at
+    fanin=64 must fold as 127→2→1 (floor division would plan ONE task
+    holding all 127 rows — up to 2·fanin−1 — breaking the documented
+    per-task bound)."""
+    import pyarrow as pa
+    import ray.data
+
+    from logpipe_ray.stages.smallagg import fold_blocks_tree
+
+    FANIN = 64
+    N = 2 * FANIN - 1  # 127: the floor-division worst case
+
+    def summing(b: pa.Table) -> pa.Table:
+        assert b.num_rows <= FANIN, (
+            f"combine saw {b.num_rows} rows > fanin={FANIN}"
+        )
+        return pa.table({"n": pa.array([sum(b["n"].to_pylist())], type=pa.int64())})
+
+    ds = ray.data.from_arrow(
+        [pa.table({"n": pa.array([1], type=pa.int64())}) for _ in range(N)]
+    )
+    out = fold_blocks_tree(ds, summing, fanin=FANIN).take_all()
+    assert [r["n"] for r in out] == [N]
+
+
+def test_top_k_string_keys(ray_session):
+    """top_k is key-dtype-generic: string keys (domains) rank by
+    cents-sum desc with key-asc tie-break — the capability the old
+    groupby implementation had and the int64 cast briefly dropped."""
+    import pyarrow as pa
+    import ray.data
+
+    from logpipe_ray.stages.window import top_k
+
+    t = pa.table(
+        {
+            "domain": ["b.com", "a.com", "c.com", "a.com", "b.com", "d.com"],
+            "value": [1.0, 2.0, 3.5, 1.5, 2.5, 3.5],
+        }
+    )
+    out = top_k(
+        ray.data.from_arrow(t).repartition(3),
+        key_col="domain",
+        value_col="value",
+        k=3,
+    ).take_all()
+    # sums: a.com 350, b.com 350, c.com 350, d.com 350 → key-asc ties
+    assert [(r["domain"], r["total_cents"]) for r in out] == [
+        ("a.com", 350),
+        ("b.com", 350),
+        ("c.com", 350),
+    ]
