@@ -20,6 +20,8 @@ Interleaved A/B/B/A in ONE process (CLAUDE.md drift rule); results are
 asserted identical before timing is reported.
 
 Usage: python scripts/bench_knn_merge_ab.py [n_blocks] [n_queries] [k]
+       (--tree-only: skip the groupby side — for block counts where it
+        cannot finish, e.g. 5000, where it exceeded 580 s)
 """
 
 import gc
@@ -35,9 +37,11 @@ import ray.data
 
 sys.path.insert(0, "/root/repo")
 
-N_BLOCKS = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
-N_QUERIES = int(sys.argv[2]) if len(sys.argv) > 2 else 64
-K = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+TREE_ONLY = "--tree-only" in sys.argv
+_args = [a for a in sys.argv[1:] if not a.startswith("--")]
+N_BLOCKS = int(_args[0]) if len(_args) > 0 else 5000
+N_QUERIES = int(_args[1]) if len(_args) > 1 else 64
+K = int(_args[2]) if len(_args) > 2 else 5
 
 
 def synth_partials() -> ray.data.Dataset:
@@ -115,12 +119,17 @@ def main() -> None:
 
     results: dict[str, pd.DataFrame] = {}
     times: dict[str, list[float]] = {"groupby": [], "tree": []}
-    for label, fn in (
-        ("groupby", merge_a_groupby),
-        ("tree", merge_b_tree),
-        ("tree", merge_b_tree),
-        ("groupby", merge_a_groupby),
-    ):
+    plan = (
+        (("tree", merge_b_tree), ("tree", merge_b_tree))
+        if TREE_ONLY
+        else (
+            ("groupby", merge_a_groupby),
+            ("tree", merge_b_tree),
+            ("tree", merge_b_tree),
+            ("groupby", merge_a_groupby),
+        )
+    )
+    for label, fn in plan:
         gc.collect()
         t0 = time.perf_counter()
         out = fn(partials)
@@ -132,23 +141,21 @@ def main() -> None:
         results[label] = out
         print(f"{label}: {dt:.2f}s ({len(out)} rows)")
 
-    a, b = canon(results["groupby"]), canon(results["tree"])
-    assert a.equals(b), "groupby and tree merges disagree"
-    best_a, best_b = min(times["groupby"]), min(times["tree"])
-    print(
-        json.dumps(
-            {
-                "n_blocks": N_BLOCKS,
-                "n_queries": N_QUERIES,
-                "k": K,
-                "partial_rows": n_rows,
-                "groupby_best_s": round(best_a, 2),
-                "tree_best_s": round(best_b, 2),
-                "speedup": round(best_a / best_b, 2),
-                "identical": True,
-            }
-        )
-    )
+    out = {
+        "n_blocks": N_BLOCKS,
+        "n_queries": N_QUERIES,
+        "k": K,
+        "partial_rows": n_rows,
+        "tree_best_s": round(min(times["tree"]), 2),
+    }
+    if not TREE_ONLY:
+        a, b = canon(results["groupby"]), canon(results["tree"])
+        assert a.equals(b), "groupby and tree merges disagree"
+        best_a = min(times["groupby"])
+        out["groupby_best_s"] = round(best_a, 2)
+        out["speedup"] = round(best_a / out["tree_best_s"], 2)
+        out["identical"] = True
+    print(json.dumps(out))
     ray.shutdown()
 
 
