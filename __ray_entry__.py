@@ -480,6 +480,16 @@ _DRIVER_PRIORITY = [
     "tcp_roundtrip",
     "tail_dedup_ingest",
     "bigram_topk",
+    # changed by the late-r5 fold sweep + review fixes (tree-fold
+    # merges, sorted_runs_fold rewrites, top_k dtype, knn merge) —
+    # changed code outranks stale-evidence rotation for the prefix
+    "events_topk",
+    "events_tumbling",
+    "dedup_exact",
+    "embed_knn",
+    "embed_topk_pairs",
+    "vocab_topk",
+    "doc_lm_familiarity",
     # r3-evidence rotation (latest driver row is r3 — staler than r4's)
     "events_session",
     "events_asof",
@@ -526,7 +536,6 @@ _DRIVER_PRIORITY = [
     # r4-green tail (freshest driver evidence)
     "es_bulk_delivery",
     "semantic_dedup",
-    "doc_lm_familiarity",
     "seq_enrich",
     "seq_counters",
     "seq_routed",
@@ -537,21 +546,15 @@ _DRIVER_PRIORITY = [
     "seq_pack",
     "seq_pack_sums",
     "seq_chunk",
-    "vocab_topk",
     "q1_pricing",
     "events_agg",
-    "events_tumbling",
-    "events_topk",
     "events_distinct_types",
     "join_broadcast",
     "join_hash",
     "join_semi",
     "join_anti",
     "sort_topk_orders",
-    "dedup_exact",
     "dedup_lsh_verified",
-    "embed_knn",
-    "embed_topk_pairs",
     "lang_id",
     "quality_score",
     "docs_training_pipeline",
