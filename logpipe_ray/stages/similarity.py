@@ -16,6 +16,8 @@ comparison (distinct cosines differ ≫ 1e-12).
 
 from __future__ import annotations
 
+import gc
+
 import numpy as np
 import pyarrow as pa
 import ray
@@ -160,8 +162,14 @@ def merge_knn_partials(partials: ray.data.Dataset, k: int) -> ray.data.Dataset:
             }
         )
 
-    return fold_blocks_tree(partials, combine).map_batches(
-        finish, batch_format="pyarrow", batch_size=None
+    # repartition(1) before finish: Ray may dynamically split a large
+    # fold-root block, and finish ranks per block — a query whose rows
+    # straddled a split would rank from 1 twice. The root is ≤
+    # n_queries × k rows, so the coalesce is cheap.
+    return (
+        fold_blocks_tree(partials, combine)
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
     )
 
 
@@ -567,6 +575,12 @@ def topk_cosine_pairs_distributed(
         batch_size=1,
         concurrency=pool_size(per_actor_cpus=1.0, cap=max(1, len(items))),
     )
+    # materialize + drop the pool-stage Dataset BEFORE the fold: actor
+    # pools free their CPUs only when the Dataset is GC'd (CLAUDE.md),
+    # and a held pool would serialize every fold level onto the reserve
+    # CPUs.
+    partials = partials.materialize()
+    gc.collect()
 
     def combine(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
@@ -578,6 +592,9 @@ def topk_cosine_pairs_distributed(
         return b.take(pa.array(order, type=pa.int64()))
 
     top = fold_blocks_tree(partials, combine).take_all()
+    # the driver-side re-sort is the defense against Ray dynamically
+    # splitting the fold root into >1 block (take_all order would then
+    # interleave) — k rows, trivial
     rows = sorted(
         ((r["cosine"], r["vec_a"], r["vec_b"]) for r in top),
         key=lambda r: (-r[0], r[1], r[2]),

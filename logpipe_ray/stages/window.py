@@ -263,10 +263,9 @@ def top_k(
         g = g.rename_columns(
             [c[: -len("_sum")] if c.endswith("_sum") else c for c in g.column_names]
         )
-        g = g.select([key_col, "total_cents"])
-        return g.set_column(
-            1, "total_cents", pc.cast(g["total_cents"], pa.int64())
-        )
+        # value_cents is int64 (add_value_cents) and an int64 group_by
+        # sum stays int64 — no cast needed
+        return g.select([key_col, "total_cents"])
 
     def key_combine(b: pa.Table) -> pa.Table:
         # a key's rows are confined to this block (single-column sort)

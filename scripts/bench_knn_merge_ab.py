@@ -29,17 +29,21 @@ import json
 import sys
 import time
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TREE_ONLY = "--tree-only" in sys.argv
 _args = [a for a in sys.argv[1:] if not a.startswith("--")]
-N_BLOCKS = int(_args[0]) if len(_args) > 0 else 5000
+# default must FINISH with the groupby side on (5000 blocks times out
+# at >580 s on the groupby path — pass it explicitly with --tree-only)
+N_BLOCKS = int(_args[0]) if len(_args) > 0 else 1500
 N_QUERIES = int(_args[1]) if len(_args) > 1 else 64
 K = int(_args[2]) if len(_args) > 2 else 5
 
