@@ -130,3 +130,55 @@ def test_ann_occupancy_scaling_equivalence_and_recall(ray_session):
     top1 = {q: nb for q, rk, nb in scaled if rk == 1}
     hits = sum(1 for q in qids if top1.get(q) == q + n)
     assert hits >= int(0.9 * len(qids)), f"{hits}/{len(qids)}"
+
+
+def test_merge_knn_partials_tree_exact(ray_session):
+    """merge_knn_partials (the exported knn_topk fold) on a many-block
+    synthetic partial stream equals a single global pandas top-k:
+    cosine desc, neighbor-id-asc tie-break, ranks 1..k per query —
+    including across a multi-level tree (60 blocks > fanin// levels)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from logpipe_ray.stages.similarity import merge_knn_partials
+
+    K, NQ, NB = 3, 7, 60
+    rng = np.random.RandomState(7)
+    tables, frames = [], []
+    for blk in range(NB):
+        q = np.repeat(np.arange(NQ, dtype=np.int64), K + 1)
+        nb = np.arange(NQ * (K + 1), dtype=np.int64) + blk * NQ * (K + 1) + NQ
+        cs = np.round(rng.uniform(-1, 1, NQ * (K + 1)), 3)  # forced ties
+        tables.append(
+            pa.table(
+                {
+                    "query_id": pa.array(q),
+                    "neighbor_id": pa.array(nb),
+                    "cosine": pa.array(cs, type=pa.float64()),
+                }
+            )
+        )
+        frames.append(
+            pd.DataFrame({"query_id": q, "neighbor_id": nb, "cosine": cs})
+        )
+    got = (
+        merge_knn_partials(ray.data.from_arrow(tables), K)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        pd.concat(frames)
+        .sort_values(
+            ["query_id", "cosine", "neighbor_id"],
+            ascending=[True, False, True],
+        )
+        .groupby("query_id")
+        .head(K)
+        .reset_index(drop=True)
+    )
+    exp["rank"] = exp.groupby("query_id").cumcount() + 1
+    exp = exp[["query_id", "rank", "neighbor_id"]].astype("int64")
+    pd.testing.assert_frame_equal(got, exp)
